@@ -1,0 +1,300 @@
+"""Linear operators (TPU-native sparse/dense matrix formats).
+
+The reference delegates its linear algebra to NumPy/SciPy CSR and PETSc
+``mpiaij`` (SURVEY §1 L1).  General CSR is gather-bound on TPU, so this
+layer provides formats chosen for the VPU/MXU instead:
+
+* :class:`DenseOperator` — plain 2-D array, SpMV on the MXU.  Right format
+  for the small SPD fixtures and the mpi4py-style column-partitioned runs.
+* :class:`DiaOperator` — diagonal (DIA) storage, row-indexed.  SpMV is a
+  sum of shifted elementwise multiplies — no gathers, fully VPU-friendly,
+  and the natural format for the banded/diagonal model problems the
+  scaling experiments use (``ex2a.c:77-95``, ``scaling_tests.py:51-54``).
+  A Pallas kernel (:mod:`..ops.spmv_pallas`) reads the vector once per row
+  tile instead of once per diagonal.
+* :class:`EllOperator` — padded ELLPACK for general sparse fixtures: a
+  dense ``(n, L)`` value array plus ``(n, L)`` column indices; SpMV is one
+  gather + multiply + row-reduce, with static shapes XLA can tile.
+
+All operators are pytrees so they can cross ``jit``/``shard_map``
+boundaries, and expose::
+
+    op.n           # dimension
+    op.nnz         # stored nonzeros (excluding padding)
+    op.mv(v)       # A @ v
+    op.mv2(v, w)   # A @ v, A @ w fused (one pass over A)
+    op.diagonal()  # main diagonal (for Jacobi preconditioning)
+
+``mv2`` is first-class because the pipelined predict-and-recompute
+variants apply A to two vectors per iteration; fusing them halves traffic
+over A (the mpi4py code's ``np.dot(A, [r|s])`` trick,
+``scaling_experiments_mpi4py/cg_variants/pipe_pr_cg.py:65``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "DenseOperator",
+    "DiaOperator",
+    "EllOperator",
+    "from_coo",
+    "as_operator",
+]
+
+
+def _shift(v: jnp.ndarray, off: int) -> jnp.ndarray:
+    """shift(v, off)[i] = v[i + off], zero-padded at the boundary."""
+    if off == 0:
+        return v
+    zeros = jnp.zeros((abs(off),), dtype=v.dtype)
+    if off > 0:
+        return jnp.concatenate([v[off:], zeros])
+    return jnp.concatenate([zeros, v[:off]])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DenseOperator:
+    """Dense SPD operator; SpMV = MXU matmul."""
+
+    a: jnp.ndarray
+
+    @property
+    def n(self) -> int:
+        return self.a.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.a.shape[0] * self.a.shape[1])
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    def mv(self, v):
+        return self.a @ v
+
+    def mv2(self, v, w):
+        vw = jnp.stack([v, w], axis=1)
+        out = self.a @ vw
+        return out[:, 0], out[:, 1]
+
+    def diagonal(self):
+        return jnp.diagonal(self.a)
+
+    def astype(self, dtype):
+        return DenseOperator(self.a.astype(dtype))
+
+    def todense(self):
+        return self.a
+
+    def tree_flatten(self):
+        return (self.a,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DiaOperator:
+    """Diagonal-storage operator, row-indexed.
+
+    ``data[d, i] = A[i, i + offsets[d]]``; positions falling outside the
+    matrix are stored as explicit zeros.  ``offsets`` is a static tuple so
+    the shift pattern is compile-time constant.
+    """
+
+    offsets: tuple
+    data: jnp.ndarray  # (ndiags, n)
+
+    @property
+    def n(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        n = self.data.shape[1]
+        return int(sum(n - abs(o) for o in self.offsets))
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def mv(self, v):
+        y = self.data[0] * _shift(v, self.offsets[0])
+        for d in range(1, len(self.offsets)):
+            y = y + self.data[d] * _shift(v, self.offsets[d])
+        return y
+
+    def mv2(self, v, w):
+        # One pass over `data` for both right-hand sides: stack the two
+        # vectors on a trailing axis so each diagonal is read once.
+        vw = jnp.stack([v, w], axis=1)  # (n, 2)
+        y = self.data[0][:, None] * _shift2(vw, self.offsets[0])
+        for d in range(1, len(self.offsets)):
+            y = y + self.data[d][:, None] * _shift2(vw, self.offsets[d])
+        return y[:, 0], y[:, 1]
+
+    def diagonal(self):
+        d = self.offsets.index(0)
+        return self.data[d]
+
+    def astype(self, dtype):
+        return DiaOperator(self.offsets, self.data.astype(dtype))
+
+    def todense(self):
+        n = self.n
+        a = np.zeros((n, n), dtype=np.asarray(self.data).dtype)
+        data = np.asarray(self.data)
+        for d, off in enumerate(self.offsets):
+            idx = np.arange(max(0, -off), min(n, n - off))
+            a[idx, idx + off] = data[d, idx]
+        return jnp.asarray(a)
+
+    def tree_flatten(self):
+        return (self.data,), self.offsets
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux, children[0])
+
+
+def _shift2(vw: jnp.ndarray, off: int) -> jnp.ndarray:
+    """2-column variant of :func:`_shift` for fused 2-RHS SpMV."""
+    if off == 0:
+        return vw
+    zeros = jnp.zeros((abs(off), vw.shape[1]), dtype=vw.dtype)
+    if off > 0:
+        return jnp.concatenate([vw[off:], zeros], axis=0)
+    return jnp.concatenate([zeros, vw[:off]], axis=0)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class EllOperator:
+    """Padded-ELL operator for general sparse matrices.
+
+    ``val[i, l]`` / ``idx[i, l]`` give the l-th stored entry of row i;
+    padding slots carry value 0 and index i (self-referencing, so the
+    gather stays in-bounds).  ``nnz_stored`` tracks real nonzeros.
+    """
+
+    val: jnp.ndarray  # (n, L)
+    idx: jnp.ndarray  # (n, L) int32
+    nnz_stored: int = field(default=0)
+
+    @property
+    def n(self) -> int:
+        return self.val.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return self.nnz_stored
+
+    @property
+    def dtype(self):
+        return self.val.dtype
+
+    def mv(self, v):
+        return jnp.sum(self.val * v[self.idx], axis=1)
+
+    def mv2(self, v, w):
+        g = jnp.stack([v, w], axis=1)[self.idx]  # (n, L, 2)
+        out = jnp.sum(self.val[:, :, None] * g, axis=1)
+        return out[:, 0], out[:, 1]
+
+    def diagonal(self):
+        n = self.val.shape[0]
+        rows = jnp.arange(n)[:, None]
+        hit = self.idx == rows
+        return jnp.sum(jnp.where(hit, self.val, 0.0), axis=1)
+
+    def astype(self, dtype):
+        return EllOperator(self.val.astype(dtype), self.idx, self.nnz_stored)
+
+    def todense(self):
+        n, L = self.val.shape
+        a = np.zeros((n, n), dtype=np.asarray(self.val).dtype)
+        val = np.asarray(self.val)
+        idx = np.asarray(self.idx)
+        for l in range(L):
+            np.add.at(a, (np.arange(n), idx[:, l]), val[:, l])
+        return jnp.asarray(a)
+
+    def tree_flatten(self):
+        return (self.val, self.idx), self.nnz_stored
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+def from_coo(coo, fmt: str = "auto", dtype=jnp.float64, dia_max_diags: int = 256):
+    """Build an operator from a :class:`~..matio.matrix_market.CooMatrix`.
+
+    ``fmt``: ``'dense' | 'dia' | 'ell' | 'auto'``.  Auto picks dense for
+    small matrices, DIA when the occupied-diagonal count is low, else ELL.
+    """
+    n = coo.shape[0]
+    row = np.asarray(coo.row)
+    col = np.asarray(coo.col)
+    val = np.asarray(coo.val, dtype=np.float64)
+
+    if fmt == "auto":
+        if n <= 512:
+            fmt = "dense"
+        else:
+            diags = np.unique(col - row)
+            fmt = "dia" if len(diags) <= dia_max_diags else "ell"
+
+    if fmt == "dense":
+        a = np.zeros((n, n), dtype=np.float64)
+        np.add.at(a, (row, col), val)
+        return DenseOperator(jnp.asarray(a, dtype=dtype))
+
+    if fmt == "dia":
+        diags = np.unique(col - row)
+        offsets = tuple(int(o) for o in diags)
+        data = np.zeros((len(offsets), n), dtype=np.float64)
+        omap = {o: d for d, o in enumerate(offsets)}
+        d_idx = np.array([omap[int(o)] for o in (col - row)])
+        np.add.at(data, (d_idx, row), val)
+        return DiaOperator(offsets, jnp.asarray(data, dtype=dtype))
+
+    if fmt == "ell":
+        counts = np.bincount(row, minlength=n)
+        L = max(1, int(counts.max()))
+        ell_val = np.zeros((n, L), dtype=np.float64)
+        ell_idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, L))
+        slot = np.zeros(n, dtype=np.int64)
+        order = np.lexsort((col, row))
+        for e in order:
+            i = row[e]
+            ell_val[i, slot[i]] += val[e]
+            ell_idx[i, slot[i]] = col[e]
+            slot[i] += 1
+        return EllOperator(
+            jnp.asarray(ell_val, dtype=dtype), jnp.asarray(ell_idx), int(len(val))
+        )
+
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def as_operator(a, dtype=None):
+    """Coerce an array / operator / CooMatrix into an operator."""
+    from ..matio.matrix_market import CooMatrix
+
+    if isinstance(a, (DenseOperator, DiaOperator, EllOperator)):
+        return a if dtype is None else a.astype(dtype)
+    if isinstance(a, CooMatrix):
+        return from_coo(a, dtype=dtype or jnp.float64)
+    arr = jnp.asarray(a, dtype=dtype)
+    return DenseOperator(arr)

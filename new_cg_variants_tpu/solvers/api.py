@@ -1,0 +1,213 @@
+"""Solver API: history runs (experiments) and tolerance solves (production).
+
+Two entry points over the family step functions:
+
+* :func:`run` — fixed-iteration ``lax.scan`` capturing per-iteration probe
+  histories; mirrors the reference experiment semantics where output index
+  0 is the initial state and indices ``1..max_iter-1`` follow each loop
+  iteration (``numerical_experiments/cg_variants/hs_cg.py:33-65``).
+* :func:`solve` — ``lax.while_loop`` with convergence test and early exit;
+  the production interface, analogous to PETSc ``KSPSolve`` with norm
+  types natural / unpreconditioned / preconditioned / none
+  (``cg_impls/pipeprcg.c:112-136``).
+
+Thin wrappers named after the reference's 20 public variants
+(``cg_variants/__init__.py:64-74``) are generated in
+:mod:`new_cg_variants_tpu.solvers.variants`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.operators import as_operator
+from ..probes.probes import resolve_probes
+from .context import Context
+from .families import FAMILIES, family_of, make_gv_step
+from .precond import IdentityPreconditioner, make_preconditioner
+
+__all__ = ["run", "solve", "SolveResult", "VARIANT_NAMES"]
+
+VARIANT_NAMES = tuple(
+    f"{base}_{suffix}"
+    for base in ("hs", "cg", "gv", "pr", "m", "pipe_p", "pipe_pr", "pipe_p_m", "pipe_pr_m")
+    for suffix in ("cg", "pcg")
+)
+
+
+def _resolve(variant, op, preconditioner, w_replace=None):
+    key, prec_flag = family_of(variant)
+    init_fn, step_fn = FAMILIES[key]
+    if key == "gv" and w_replace is not None:
+        step_fn = make_gv_step(w_replace)
+    precond = make_preconditioner(
+        preconditioner if prec_flag else None, op
+    )
+    if prec_flag and precond is None:
+        # a *_pcg variant with no preconditioner given degrades to M = I,
+        # like the reference's default `preconditioner=lambda x: x`
+        precond = IdentityPreconditioner()
+    return init_fn, step_fn, precond
+
+
+def _needs_x_true(probe_fns):
+    return any(name.startswith("error") for name in probe_fns)
+
+
+def _compute_x_true(op, b):
+    """Host-side direct solve for the error probes.
+
+    The reference callbacks lazily compute ``x_true`` with a sparse direct
+    solve when not supplied (``callbacks/error_A_norm.py:36-39``); we do
+    the same off the hot path.
+    """
+    a = np.asarray(op.todense(), dtype=np.float64)
+    return np.linalg.solve(a, np.asarray(b, dtype=np.float64))
+
+
+def run(
+    variant,
+    A,
+    b,
+    x0=None,
+    max_iter=100,
+    preconditioner=None,
+    probes=("updated_residual_2_norm",),
+    x_true=None,
+    w_replace=None,
+    dtype=None,
+    use_jit=True,
+):
+    """Run ``max_iter`` iterations of a variant, capturing probe histories.
+
+    Returns a dict with ``'name'``, ``'max_iter'`` and one ``(max_iter,)``
+    (or ``(max_iter, n)`` for vector probes) array per probe — the same
+    output-dict shape the reference solvers return
+    (``cg_variants/hs_cg.py:18-20``).
+    """
+    op = as_operator(A, dtype=dtype)
+    b = jnp.asarray(b, dtype=op.dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
+    init_fn, step_fn, precond = _resolve(variant, op, preconditioner, w_replace)
+    probe_fns = resolve_probes(probes)
+
+    aux = {"b": b}
+    if _needs_x_true(probe_fns):
+        if x_true is None:
+            x_true = _compute_x_true(op, b)
+        aux["x_true"] = jnp.asarray(x_true, dtype=op.dtype)
+
+    def go(op, precond, b, x0, aux):
+        ctx = Context(op, precond)
+        state = init_fn(ctx, b, x0)
+
+        def probe_row(s):
+            return {name: fn(ctx, s, aux) for name, fn in probe_fns.items()}
+
+        def body(s, _):
+            s2 = step_fn(ctx, s)
+            return s2, probe_row(s2)
+
+        row0 = probe_row(state)
+        if max_iter > 1:
+            final, rows = jax.lax.scan(body, state, None, length=max_iter - 1)
+            hist = jax.tree.map(
+                lambda a0, rest: jnp.concatenate([a0[None], rest]), row0, rows
+            )
+        else:
+            final, hist = state, jax.tree.map(lambda a0: a0[None], row0)
+        return final, hist
+
+    if use_jit:
+        go = jax.jit(go)
+    final, hist = go(op, precond, b, x0, aux)
+
+    output = {"name": variant, "max_iter": max_iter, "x": final["x"]}
+    for name in probe_fns:
+        output[name] = np.asarray(hist[name])
+    return output
+
+
+@dataclass
+class SolveResult:
+    x: jnp.ndarray
+    iterations: int
+    norm: float
+    converged: bool
+
+
+def solve(
+    A,
+    b,
+    variant="pipe_pr_cg",
+    x0=None,
+    rtol=1e-8,
+    atol=0.0,
+    max_iter=10_000,
+    preconditioner=None,
+    norm_type="natural",
+    dtype=None,
+    use_jit=True,
+):
+    """Tolerance-driven solve with early exit (production path).
+
+    ``norm_type``:
+
+    * ``'natural'`` — sqrt(nu) from the iteration scalars, free of extra
+      communication (PETSc ``KSP_NORM_NATURAL``).
+    * ``'unpreconditioned'`` — true recurrence-residual 2-norm ||r||; adds
+      one dot per iteration.
+    * ``'none'`` — fixed ``max_iter`` iterations, no convergence test
+      (the scaling-experiment configuration, ``-ksp_norm_type none``).
+    """
+    op = as_operator(A, dtype=dtype)
+    b = jnp.asarray(b, dtype=op.dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
+    init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
+
+    def iter_norm(ctx, s):
+        if norm_type == "natural":
+            return jnp.sqrt(jnp.abs(s["nu"]))
+        if norm_type == "unpreconditioned":
+            (rr,) = ctx.dots((s["r"], s["r"]))
+            return jnp.sqrt(rr)
+        if norm_type == "none":
+            return jnp.zeros((), dtype=s["nu"].dtype)
+        raise ValueError(f"unknown norm_type {norm_type!r}")
+
+    def go(op, precond, b, x0):
+        ctx = Context(op, precond)
+        state = init_fn(ctx, b, x0)
+        (bb,) = ctx.dots((b, b))
+        tol = jnp.maximum(rtol * jnp.sqrt(bb), atol).astype(b.dtype)
+
+        def cond(carry):
+            s, k, nrm = carry
+            if norm_type == "none":
+                return k < max_iter
+            return jnp.logical_and(k < max_iter, nrm > tol)
+
+        def body(carry):
+            s, k, _ = carry
+            s2 = step_fn(ctx, s)
+            return s2, k + 1, iter_norm(ctx, s2)
+
+        s, k, nrm = jax.lax.while_loop(
+            cond, body, (state, jnp.zeros((), jnp.int32), iter_norm(ctx, state))
+        )
+        return s["x"], k, nrm, tol
+
+    if use_jit:
+        go = jax.jit(go)
+    x, k, nrm, tol = go(op, precond, b, x0)
+    return SolveResult(
+        x=x,
+        iterations=int(k),
+        norm=float(nrm),
+        converged=bool(norm_type == "none" or float(nrm) <= float(tol)),
+    )

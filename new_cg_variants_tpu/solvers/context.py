@@ -1,0 +1,59 @@
+"""Execution contexts: how a solver step touches the operator and the mesh.
+
+The reference hard-codes its communication backend into each solver
+(mpi4py solvers call ``comm.Allreduce`` directly; PETSc solvers use
+``VecDotBegin/End`` split reductions — SURVEY §1).  Here the algorithm is
+written once against a small context interface and the context decides
+how matvecs, preconditioner applies and *fused dot batches* execute:
+
+* :class:`Context` — single device.  ``dots`` is a plain batch of
+  ``jnp.vdot``; XLA fuses the reductions.
+* ``parallel.contexts.RowShardContext`` / ``ColShardContext`` — inside
+  ``shard_map``: local compute + ONE ``psum`` of a packed scalar vector
+  per ``dots`` call (the reference's buffer-packing trick,
+  ``scaling_experiments_mpi4py/cg_variants/pipe_pr_cg.py:31-45``), and
+  matvec halo exchange / reduce-scatter over the mesh axis.
+
+Step functions must call ``dots`` once per synchronization phase with all
+the inner products of that phase; this is what makes each variant's sync
+structure (2 syncs for HS, 1 for CG/GV/PR/pipe-PR) explicit and lets the
+distributed contexts map one ``dots`` call to one collective.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["Context"]
+
+
+class Context:
+    """Single-device execution context."""
+
+    def __init__(self, op, precond=None):
+        self.op = op
+        self.precond = precond
+
+    @property
+    def has_prec(self) -> bool:
+        return self.precond is not None
+
+    def mv(self, v):
+        return self.op.mv(v)
+
+    def mv2(self, v, w):
+        return self.op.mv2(v, w)
+
+    def prec(self, v):
+        return self.precond.apply(v) if self.precond is not None else v
+
+    def dots(self, *pairs):
+        """Fused batch of inner products: one synchronization phase.
+
+        Returns one scalar per ``(a, b)`` pair.
+        """
+        return tuple(jnp.vdot(a, b) for (a, b) in pairs)
+
+    def norm(self, v):
+        (sq,) = self.dots((v, v))
+        return jnp.sqrt(sq)

@@ -1,0 +1,359 @@
+"""CG variant families: init/step bodies.
+
+Five families cover the full 20-variant surface of the reference
+(``numerical_experiments/cg_variants/__init__.py:64-74``):
+
+========  ==========================================================
+family    variants
+========  ==========================================================
+hs        hs_cg, hs_pcg                       (2 syncs/iter)
+cgcg      cg_cg, cg_pcg                       (1 fused 2-dot sync)
+gv        gv_cg, gv_pcg                       (1 sync, SpMV overlap)
+pr        pr_cg, m_cg, pr_pcg, m_pcg          (1 fused 4-dot sync)
+pipe      pipe_{p,pr,p_m,pr_m}_{cg,pcg}       (1 sync; SpMVs overlap)
+========  ==========================================================
+
+Each family is a pair of pure functions ``init(ctx, b, x0) -> state`` and
+``step(ctx, state) -> state`` over a dict state, written against the
+:class:`~.context.Context` interface so the same body runs single-device
+or under ``shard_map``.  Math follows Chen & Carson (arXiv:1905.01549);
+update *order* matters for finite-precision parity with the reference
+(e.g. beta from the predicted nu but alpha from the recomputed nu —
+``numerical_experiments/cg_variants/pipe_pr_cg.py:63-76``), so each step
+preserves it exactly.
+
+Scalar state keys carried for observability: ``a`` (alpha_k), ``a1``
+(alpha_{k-1}), ``b`` (beta_k), ``b1``, ``nu``; families add their own
+(``mu``, ``eta``, ``delta``, ``gamma``).  Preconditioned runs carry the
+tilde vectors (``rt``, ``st``, ...); unpreconditioned runs omit them
+entirely (no dead 2x memory traffic when M = I).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["FAMILIES", "family_of", "make_gv_step"]
+
+
+def _common_scalars(nu, mu, dtype):
+    zero = jnp.zeros((), dtype=dtype)
+    return dict(
+        nu=nu, mu=mu, a=nu / mu, a1=zero, a2=zero, b=zero, b1=zero,
+        k=jnp.zeros((), jnp.int32),
+    )
+
+
+def _rotate(s, new):
+    """Shift the alpha/beta index window by one iteration."""
+    new["a2"] = s["a1"]
+    new["a1"] = s["a"]
+    new["b1"] = s["b"]
+    new["k"] = s["k"] + 1
+    return new
+
+
+# ---------------------------------------------------------------------------
+# Hestenes–Stiefel (classic) CG — cf. numerical_experiments/cg_variants/hs_cg.py
+# ---------------------------------------------------------------------------
+
+
+def hs_init(ctx, b, x0):
+    x = x0
+    r = b - ctx.mv(x)
+    rt = ctx.prec(r)
+    p = rt
+    (nu,) = ctx.dots((r, rt))
+    s = ctx.mv(p)
+    (mu,) = ctx.dots((p, s))
+    st = dict(x=x, r=r, p=p, s=s, **_common_scalars(nu, mu, b.dtype))
+    if ctx.has_prec:
+        st["rt"] = rt
+    return st
+
+
+def hs_step(ctx, s_):
+    a1 = s_["a"]
+    x = s_["x"] + a1 * s_["p"]
+    r = s_["r"] - a1 * s_["s"]
+    rt = ctx.prec(r)
+    (nu,) = ctx.dots((r, rt))  # sync 1
+    beta = nu / s_["nu"]
+    p = rt + beta * s_["p"]
+    s = ctx.mv(p)
+    (mu,) = ctx.dots((p, s))  # sync 2
+    new = dict(x=x, r=r, p=p, s=s, nu=nu, mu=mu, a=nu / mu, b=beta)
+    if ctx.has_prec:
+        new["rt"] = rt
+    return _rotate(s_, new)
+
+
+# ---------------------------------------------------------------------------
+# Chronopoulos–Gear two-term-recurrence CG — cf. cg_variants/cg_cg.py
+# ---------------------------------------------------------------------------
+
+
+def cgcg_init(ctx, b, x0):
+    x = x0
+    r = b - ctx.mv(x)
+    rt = ctx.prec(r)
+    w = ctx.mv(rt)
+    p = rt
+    nu, eta = ctx.dots((r, rt), (w, rt))
+    s = ctx.mv(p)
+    (mu,) = ctx.dots((p, s))
+    st = dict(x=x, r=r, w=w, p=p, s=s, eta=eta, **_common_scalars(nu, mu, b.dtype))
+    if ctx.has_prec:
+        st["rt"] = rt
+    return st
+
+
+def cgcg_step(ctx, s_):
+    a1 = s_["a"]
+    x = s_["x"] + a1 * s_["p"]
+    r = s_["r"] - a1 * s_["s"]
+    rt = ctx.prec(r)
+    w = ctx.mv(rt)
+    nu, eta = ctx.dots((r, rt), (w, rt))  # the single fused sync
+    beta = nu / s_["nu"]
+    p = rt + beta * s_["p"]
+    s = w + beta * s_["s"]
+    mu = eta - (beta / a1) * nu  # scalar recurrence replaces the mu dot
+    new = dict(x=x, r=r, w=w, p=p, s=s, nu=nu, eta=eta, mu=mu, a=nu / mu, b=beta)
+    if ctx.has_prec:
+        new["rt"] = rt
+    return _rotate(s_, new)
+
+
+# ---------------------------------------------------------------------------
+# Ghysels–Vanroose pipelined CG — cf. cg_variants/gv_cg.py
+# ---------------------------------------------------------------------------
+
+
+def gv_init(ctx, b, x0):
+    x = x0
+    r = b - ctx.mv(x)
+    rt = ctx.prec(r)
+    w = ctx.mv(rt)
+    wt = ctx.prec(w)
+    p = rt
+    s = w
+    st_ = wt
+    u = ctx.mv(wt)
+    nu, eta = ctx.dots((r, rt), (w, rt))
+    (mu,) = ctx.dots((p, s))
+    state = dict(
+        x=x, r=r, w=w, p=p, s=s, u=u, eta=eta, **_common_scalars(nu, mu, b.dtype)
+    )
+    if ctx.has_prec:
+        state.update(rt=rt, wt=wt, st=st_)
+    return state
+
+
+def make_gv_step(w_replace=None):
+    """GV step factory with optional residual-replacement hook.
+
+    ``w_replace(k, state_view) -> bool`` (traceable) forces
+    ``w = A rt`` at iterations where it returns True — the reference's
+    ``w_replace``/``wk_replace_flags`` mechanism (``gv_cg.py:69-72``).
+    (The reference's preconditioned twin replaces with ``A r``; we use the
+    mathematically consistent ``A rt``, identical when M = I.)
+    """
+
+    def gv_step(ctx, s_):
+        a1 = s_["a"]
+        x = s_["x"] + a1 * s_["p"]
+        r = s_["r"] - a1 * s_["s"]
+        if ctx.has_prec:
+            rt = s_["rt"] - a1 * s_["st"]
+        else:
+            rt = r
+        w = s_["w"] - a1 * s_["u"]
+        if w_replace is not None:
+            view = dict(k=s_["k"] + 1, x=x, r=r, w=w, u=s_["u"], s=s_["s"], p=s_["p"])
+            do_rep = w_replace(s_["k"] + 1, view)
+            w = jax.lax.cond(do_rep, lambda _: ctx.mv(rt), lambda _: w, None)
+        wt = ctx.prec(w) if ctx.has_prec else w
+        # dots issued before the matvec so the reduction overlaps t = A wt
+        nu, eta = ctx.dots((r, rt), (w, rt))  # the single fused sync
+        t = ctx.mv(wt)
+        beta = nu / s_["nu"]
+        p = rt + beta * s_["p"]
+        s = w + beta * s_["s"]
+        u = t + beta * s_["u"]
+        mu = eta - (beta / a1) * nu
+        new = dict(
+            x=x, r=r, w=w, p=p, s=s, u=u, nu=nu, eta=eta, mu=mu, a=nu / mu, b=beta
+        )
+        if ctx.has_prec:
+            new["rt"] = rt
+            new["wt"] = wt
+            new["st"] = wt + beta * s_["st"]
+        return _rotate(s_, new)
+
+    return gv_step
+
+
+gv_step = make_gv_step()
+
+
+# ---------------------------------------------------------------------------
+# Predict-and-recompute (PR) / Meurant (M) CG — cf. cg_variants/pr_cg.py
+# ---------------------------------------------------------------------------
+
+
+def _predict_nu(meurant: bool, s_):
+    """Predicted nu_k from iteration-(k-1) scalars.
+
+    PR:      nu = nu1 - 2*a1*delta1 + a1^2*gamma1
+    Meurant: nu = -nu1 + a1^2*gamma1
+    (cf. cg_variants/pr_cg.py:62-63)
+    """
+    a1 = s_["a"]
+    if meurant:
+        return -s_["nu"] + a1 * a1 * s_["gamma"]
+    return s_["nu"] - 2.0 * a1 * s_["delta"] + a1 * a1 * s_["gamma"]
+
+
+def pr_init(ctx, b, x0):
+    x = x0
+    r = b - ctx.mv(x)
+    rt = ctx.prec(r)
+    p = rt
+    s = ctx.mv(p)
+    st_ = ctx.prec(s)
+    nu, mu, delta, gamma = ctx.dots((rt, r), (p, s), (r, st_), (st_, s))
+    state = dict(
+        x=x, r=r, p=p, s=s, delta=delta, gamma=gamma,
+        **_common_scalars(nu, mu, b.dtype),
+    )
+    if ctx.has_prec:
+        state.update(rt=rt, st=st_)
+    return state
+
+
+def make_pr_step(meurant: bool):
+    def pr_step(ctx, s_):
+        a1 = s_["a"]
+        x = s_["x"] + a1 * s_["p"]
+        r = s_["r"] - a1 * s_["s"]
+        if ctx.has_prec:
+            rt = s_["rt"] - a1 * s_["st"]
+        else:
+            rt = r
+        nu_pred = _predict_nu(meurant, s_)
+        beta = nu_pred / s_["nu"]
+        p = rt + beta * s_["p"]
+        s = ctx.mv(p)
+        st_ = ctx.prec(s) if ctx.has_prec else s
+        # one fused 4-dot sync; nu is RECOMPUTED here (used for alpha),
+        # while beta above used the predicted value
+        mu, delta, gamma, nu = ctx.dots((p, s), (r, st_), (st_, s), (rt, r))
+        new = dict(
+            x=x, r=r, p=p, s=s, nu=nu, mu=mu, delta=delta, gamma=gamma,
+            a=nu / mu, b=beta,
+        )
+        if ctx.has_prec:
+            new["rt"] = rt
+            new["st"] = st_
+        return _rotate(s_, new)
+
+    return pr_step
+
+
+# ---------------------------------------------------------------------------
+# Pipelined predict(-and-recompute) (Meurant) CG — cf. cg_variants/pipe_pr_cg.py
+# and the PETSc KSPPIPEPRCG hot loop (cg_impls/pipeprcg.c:109-178)
+# ---------------------------------------------------------------------------
+
+
+def pipe_init(ctx, b, x0):
+    x = x0
+    r = b - ctx.mv(x)
+    rt = ctx.prec(r)
+    p = rt
+    s = ctx.mv(p)
+    st_ = ctx.prec(s)
+    w = s
+    wt = st_
+    u = ctx.mv(st_)
+    ut = ctx.prec(u)
+    nu, mu, delta, gamma = ctx.dots((rt, r), (p, s), (r, st_), (st_, s))
+    state = dict(
+        x=x, r=r, p=p, s=s, w=w, u=u, delta=delta, gamma=gamma,
+        **_common_scalars(nu, mu, b.dtype),
+    )
+    if ctx.has_prec:
+        state.update(rt=rt, st=st_, wt=wt, ut=ut)
+    return state
+
+
+def make_pipe_step(meurant: bool, recompute: bool):
+    def pipe_step(ctx, s_):
+        a1 = s_["a"]
+        x = s_["x"] + a1 * s_["p"]
+        r = s_["r"] - a1 * s_["s"]
+        w = s_["w"] - a1 * s_["u"]
+        if ctx.has_prec:
+            rt = s_["rt"] - a1 * s_["st"]
+            wt = s_["wt"] - a1 * s_["ut"]
+        else:
+            rt, wt = r, w
+        nu_pred = _predict_nu(meurant, s_)
+        beta = nu_pred / s_["nu"]
+        p = rt + beta * s_["p"]
+        s = w + beta * s_["s"]
+        st_ = (wt + beta * s_["st"]) if ctx.has_prec else s
+        # The single communication phase: local dot partials are formed
+        # first so the fused reduction can overlap BOTH matvecs below
+        # (VecDotBegin/MDotBegin ... MatMult ... VecDotEnd in pipeprcg.c).
+        mu, delta, gamma, nu = ctx.dots((p, s), (r, st_), (st_, s), (rt, r))
+        if recompute:
+            u, w = ctx.mv2(st_, rt)  # fused 2-RHS matvec: u = A st, w = A rt
+        else:
+            u = ctx.mv(st_)
+        if ctx.has_prec:
+            ut = ctx.prec(u)
+            if recompute:
+                wt = ctx.prec(w)
+        new = dict(
+            x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
+            gamma=gamma, a=nu / mu, b=beta,
+        )
+        if ctx.has_prec:
+            new.update(rt=rt, st=st_, wt=wt, ut=ut)
+        return _rotate(s_, new)
+
+    return pipe_step
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+FAMILIES = {
+    "hs": (hs_init, hs_step),
+    "cgcg": (cgcg_init, cgcg_step),
+    "gv": (gv_init, gv_step),
+    "pr": (pr_init, make_pr_step(meurant=False)),
+    "m": (pr_init, make_pr_step(meurant=True)),
+    "pipe_p": (pipe_init, make_pipe_step(meurant=False, recompute=False)),
+    "pipe_pr": (pipe_init, make_pipe_step(meurant=False, recompute=True)),
+    "pipe_p_m": (pipe_init, make_pipe_step(meurant=True, recompute=False)),
+    "pipe_pr_m": (pipe_init, make_pipe_step(meurant=True, recompute=True)),
+}
+
+
+def family_of(variant: str) -> tuple:
+    """Map a public variant name (e.g. ``'pipe_pr_pcg'``) to its family.
+
+    Returns ``(family_key, preconditioned)``.
+    """
+    name = variant
+    prec = name.endswith("pcg")
+    base = name[: -len("_pcg")] if prec else name[: -len("_cg")]
+    key = {"hs": "hs", "cg": "cgcg", "gv": "gv", "pr": "pr", "m": "m"}.get(base, base)
+    if key not in FAMILIES:
+        raise KeyError(f"unknown variant {variant!r}")
+    return key, prec

@@ -1,0 +1,76 @@
+"""Parity against the reference's shipped convergence data (golden files).
+
+The reference repo ships per-variant convergence histories under
+``numerical_experiments/data/{matrix}_{prec}/{variant}.npy``.  We rerun
+the same (matrix, preconditioner, variant) configs with our TPU-native
+solvers in float64 and require the reference's own table metrics
+(``figure_gen.py:80-89``) to agree:
+
+* iterations to relative A-norm error <= 1e-5: within 2% or 3 iterations
+* log10 of best relative A-norm error: within 0.75 (attainable accuracy
+  is rounding-defined; reduction orders differ between NumPy and XLA)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import new_cg_variants_tpu as cgt
+
+GOLDEN_DIR = "/root/reference/predict_and_recompute/numerical_experiments/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN_DIR), reason="reference golden data not mounted"
+)
+
+CASES = [
+    ("bcsstk03", "jacobi", 250,
+     ["hs_pcg", "cg_pcg", "gv_pcg", "pr_pcg", "m_pcg",
+      "pipe_p_pcg", "pipe_pr_pcg", "pipe_p_m_pcg", "pipe_pr_m_pcg"]),
+    ("nos4", "jacobi", 120, ["hs_pcg", "pr_pcg", "pipe_pr_pcg"]),
+    ("model_48_8_3", "None", 110, ["hs_pcg", "pr_pcg", "pipe_pr_pcg", "gv_pcg"]),
+]
+
+
+def _metrics(error_A_norm):
+    rel = error_A_norm / error_A_norm[0]
+    iters = int(np.argmin(rel > 1e-5))  # 0 == never reached
+    best = float(np.log10(np.nanmin(rel)))
+    return iters, best
+
+
+@pytest.mark.parametrize("matrix,prec,max_iter,variants", CASES)
+def test_convergence_table_parity(matrix, prec, max_iter, variants):
+    coo = cgt.load_matrix(matrix)
+    a = coo.toarray()
+    n = a.shape[0]
+    x_true = np.ones(n) / np.sqrt(n)
+    b = a @ x_true
+    precond = "jacobi" if prec == "jacobi" else None
+
+    for variant in variants:
+        golden_path = os.path.join(GOLDEN_DIR, f"{matrix}_{prec}", f"{variant}.npy")
+        if not os.path.exists(golden_path):
+            continue
+        golden = np.load(golden_path, allow_pickle=True).item()
+        g_iters, g_best = _metrics(golden["error_A_norm"][:max_iter])
+
+        out = cgt.run(
+            variant, a, b, max_iter=max_iter, probes=("error_A_norm",),
+            x_true=x_true, preconditioner=precond, dtype=np.float64,
+        )
+        o_iters, o_best = _metrics(out["error_A_norm"])
+
+        if g_iters == 0:
+            assert o_iters == 0 or o_iters > 0.9 * max_iter, (
+                f"{matrix}/{variant}: reference never converged, ours at {o_iters}"
+            )
+        else:
+            assert o_iters > 0, f"{matrix}/{variant}: never reached 1e-5 (ref {g_iters})"
+            assert abs(o_iters - g_iters) <= max(3, 0.02 * g_iters), (
+                f"{matrix}/{variant}: iters {o_iters} vs reference {g_iters}"
+            )
+        assert abs(o_best - g_best) <= 0.75, (
+            f"{matrix}/{variant}: log10 best error {o_best:.2f} vs ref {g_best:.2f}"
+        )
