@@ -1,0 +1,211 @@
+"""Distributed solver entry points: ``shard_map`` over a device mesh.
+
+Replaces the reference's two distributed harnesses:
+
+* mpi4py runs ``variant(comm, A_colblock, b_local, max_iter)`` per rank
+  (``scaling_experiments_mpi4py/cg_variants/*.py``) — here
+  ``partition='col'`` with :class:`~.contexts.ColShardContext`.
+* PETSc runs row-partitioned ``KSPSolve`` (``cg_impls/pipeprcg.c``) —
+  here ``partition='row'`` with :class:`~.contexts.RowShardContext`.
+
+The same family step functions as the single-device path execute inside
+``shard_map``; XLA inserts/overlaps the collectives.  On a multi-host
+TPU pod slice, call :func:`initialize_multihost` first and pass a mesh
+spanning all hosts — the psum/ppermute lower to ICI collectives
+(DCN between slices) with no code change.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.operators import DenseOperator, DiaOperator
+from ..probes.probes import resolve_probes
+from ..solvers.api import SolveResult, _compute_x_true, _resolve
+from ..solvers.engine import history_scan, tolerance_loop
+from .contexts import ColShardContext, RowShardContext
+
+__all__ = ["make_mesh", "dist_run", "dist_solve", "initialize_multihost"]
+
+AXIS = "i"
+
+
+def make_mesh(n_devices=None, devices=None):
+    """1-D mesh over the row/column partition axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def initialize_multihost(**kwargs):
+    """Multi-host initialization (the reference's Slurm/MPI layer, SURVEY
+    §1 L5, replaced by jax.distributed over the pod's control plane)."""
+    jax.distributed.initialize(**kwargs)
+
+
+def _check_partition(op, partition):
+    if partition == "auto":
+        partition = "row" if isinstance(op, DiaOperator) else "col"
+    if partition == "row" and not isinstance(op, DiaOperator):
+        raise TypeError("row partition currently requires a DiaOperator")
+    if partition == "col" and not isinstance(op, (DenseOperator, DiaOperator)):
+        raise TypeError("col partition requires a dense-representable operator")
+    return partition
+
+
+def _local_ctx_factory(op, partition, mesh, precond):
+    """Returns (operands, in_specs, ctx_builder) for shard_map.
+
+    The preconditioner rides along as a sharded operand: pointwise
+    preconditioners (Jacobi) hold a global-length vector that must be
+    split like every other vector (each device applies its local slice
+    — the reference's rank-local ``1/diag(A) * x``, ``figure_gen.py:42``).
+    """
+    from ..solvers.precond import JacobiPreconditioner
+
+    p = mesh.devices.size
+    n = op.n
+    if n % p:
+        raise ValueError(f"n={n} must be divisible by mesh size {p}")
+
+    if partition == "row":
+        # DIA data is (ndiags, n), row-indexed — shard columns (= matrix rows)
+        mat_operand, mat_spec = op.data, P(None, AXIS)
+        def build_mat_ctx(local, prec_local):
+            return RowShardContext(op.offsets, local, AXIS, prec_local)
+    else:
+        # col partition: dense (n, n) — shard columns
+        a = op.a if isinstance(op, DenseOperator) else op.todense()
+        mat_operand, mat_spec = a, P(None, AXIS)
+        def build_mat_ctx(local, prec_local):
+            return ColShardContext(local, AXIS, prec_local)
+
+    if isinstance(precond, JacobiPreconditioner):
+        prec_operand, prec_spec = precond.inv_diag, P(AXIS)
+        def build(local, prec_leaf):
+            return build_mat_ctx(local, JacobiPreconditioner(prec_leaf))
+    else:
+        # identity / function preconditioners carry no global state; a
+        # FunctionPreconditioner must be shard-local (pointwise)
+        prec_operand, prec_spec = jnp.zeros((p,), dtype=op.dtype), P(AXIS)
+        def build(local, prec_leaf):
+            return build_mat_ctx(local, precond)
+
+    return (mat_operand, prec_operand), (mat_spec, prec_spec), build
+
+
+def dist_run(
+    variant,
+    op,
+    b,
+    mesh=None,
+    x0=None,
+    max_iter=100,
+    partition="auto",
+    preconditioner=None,
+    probes=("updated_residual_2_norm",),
+    x_true=None,
+    dtype=None,
+):
+    """Distributed history run: the mesh analog of :func:`..solvers.api.run`.
+
+    Vector probes (``save_x``/``save_r``) come back sharded on their last
+    axis; scalar probes are replicated.
+    """
+    if dtype is not None:
+        op = op.astype(dtype)
+    if mesh is None:
+        mesh = make_mesh()
+    partition = _check_partition(op, partition)
+    b = jnp.asarray(b, dtype=op.dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
+    init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
+    probe_fns = resolve_probes(probes)
+
+    aux_global = {"b": b}
+    if any(name.startswith("error") for name in probe_fns):
+        if x_true is None:
+            x_true = _compute_x_true(op, b)
+        aux_global["x_true"] = jnp.asarray(x_true, dtype=op.dtype)
+
+    operands, op_specs, build_ctx = _local_ctx_factory(op, partition, mesh, precond)
+
+    vec = P(AXIS)
+    scal = P()
+    probe_specs = {
+        name: (P(None, AXIS) if name in ("save_x", "save_r") else P(None))
+        for name in probe_fns
+    }
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(op_specs, vec, vec, {k: vec for k in aux_global}),
+        out_specs=(vec, probe_specs, scal),
+    )
+    def body(local_operands, b_l, x0_l, aux_l):
+        ctx = build_ctx(*local_operands)
+        final, hist = history_scan(
+            ctx, init_fn, step_fn, probe_fns, b_l, x0_l, max_iter, aux_l
+        )
+        return final["x"], hist, final["nu"]
+
+    x, hist, nu = jax.jit(body)(operands, b, x0, aux_global)
+    output = {"name": variant, "max_iter": max_iter, "x": x, "nu": np.asarray(nu)}
+    for name in probe_fns:
+        output[name] = np.asarray(hist[name])
+    return output
+
+
+def dist_solve(
+    op,
+    b,
+    variant="pipe_pr_cg",
+    mesh=None,
+    x0=None,
+    rtol=1e-8,
+    atol=0.0,
+    max_iter=10_000,
+    partition="auto",
+    preconditioner=None,
+    norm_type="natural",
+    dtype=None,
+):
+    """Distributed tolerance solve: the mesh analog of :func:`..solvers.api.solve`."""
+    if dtype is not None:
+        op = op.astype(dtype)
+    if mesh is None:
+        mesh = make_mesh()
+    partition = _check_partition(op, partition)
+    b = jnp.asarray(b, dtype=op.dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
+    init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
+    operands, op_specs, build_ctx = _local_ctx_factory(op, partition, mesh, precond)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(op_specs, P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(), P(), P()),
+    )
+    def body(local_operands, b_l, x0_l):
+        ctx = build_ctx(*local_operands)
+        s, k, nrm, tol = tolerance_loop(
+            ctx, init_fn, step_fn, b_l, x0_l, max_iter, rtol, atol, norm_type
+        )
+        return s["x"], k, nrm, tol
+
+    x, k, nrm, tol = jax.jit(body)(operands, b, x0)
+    return SolveResult(
+        x=x,
+        iterations=int(k),
+        norm=float(nrm),
+        converged=bool(norm_type == "none" or float(nrm) <= float(tol)),
+    )

@@ -28,6 +28,7 @@ import numpy as np
 from ..ops.operators import as_operator
 from ..probes.probes import resolve_probes
 from .context import Context
+from .engine import history_scan, tolerance_loop
 from .families import FAMILIES, family_of, make_gv_step
 from .precond import IdentityPreconditioner, make_preconditioner
 
@@ -104,24 +105,7 @@ def run(
 
     def go(op, precond, b, x0, aux):
         ctx = Context(op, precond)
-        state = init_fn(ctx, b, x0)
-
-        def probe_row(s):
-            return {name: fn(ctx, s, aux) for name, fn in probe_fns.items()}
-
-        def body(s, _):
-            s2 = step_fn(ctx, s)
-            return s2, probe_row(s2)
-
-        row0 = probe_row(state)
-        if max_iter > 1:
-            final, rows = jax.lax.scan(body, state, None, length=max_iter - 1)
-            hist = jax.tree.map(
-                lambda a0, rest: jnp.concatenate([a0[None], rest]), row0, rows
-            )
-        else:
-            final, hist = state, jax.tree.map(lambda a0: a0[None], row0)
-        return final, hist
+        return history_scan(ctx, init_fn, step_fn, probe_fns, b, x0, max_iter, aux)
 
     if use_jit:
         go = jax.jit(go)
@@ -170,35 +154,10 @@ def solve(
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
     init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
 
-    def iter_norm(ctx, s):
-        if norm_type == "natural":
-            return jnp.sqrt(jnp.abs(s["nu"]))
-        if norm_type == "unpreconditioned":
-            (rr,) = ctx.dots((s["r"], s["r"]))
-            return jnp.sqrt(rr)
-        if norm_type == "none":
-            return jnp.zeros((), dtype=s["nu"].dtype)
-        raise ValueError(f"unknown norm_type {norm_type!r}")
-
     def go(op, precond, b, x0):
         ctx = Context(op, precond)
-        state = init_fn(ctx, b, x0)
-        (bb,) = ctx.dots((b, b))
-        tol = jnp.maximum(rtol * jnp.sqrt(bb), atol).astype(b.dtype)
-
-        def cond(carry):
-            s, k, nrm = carry
-            if norm_type == "none":
-                return k < max_iter
-            return jnp.logical_and(k < max_iter, nrm > tol)
-
-        def body(carry):
-            s, k, _ = carry
-            s2 = step_fn(ctx, s)
-            return s2, k + 1, iter_norm(ctx, s2)
-
-        s, k, nrm = jax.lax.while_loop(
-            cond, body, (state, jnp.zeros((), jnp.int32), iter_norm(ctx, state))
+        s, k, nrm, tol = tolerance_loop(
+            ctx, init_fn, step_fn, b, x0, max_iter, rtol, atol, norm_type
         )
         return s["x"], k, nrm, tol
 

@@ -1,0 +1,107 @@
+"""Distributed (shard_map) solver tests on the 8-device virtual CPU mesh.
+
+The JAX analog of the reference's oversubscribed local ``mpiexec -n 8``
+testing (SURVEY §4.4): row partition (PETSc structure) and column
+partition (mpi4py structure) must reproduce the single-device histories
+to FP-roundoff in the early sweep and solve to the known solution.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import new_cg_variants_tpu as cgt
+from new_cg_variants_tpu.parallel import dist_run, dist_solve, make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("variant", ["hs_cg", "cg_cg", "gv_cg", "pr_cg", "pipe_pr_cg"])
+def test_row_partition_matches_single_device(variant, mesh):
+    op, b, _ = cgt.banded_model(2048, k=8, kappa=1e4)
+    out = dist_run(variant, op, b, mesh=mesh, max_iter=30,
+                   probes=("updated_residual_2_norm",), dtype=np.float64)
+    ref = cgt.run(variant, op, b, max_iter=30,
+                  probes=("updated_residual_2_norm",), dtype=np.float64)
+    np.testing.assert_allclose(
+        out["updated_residual_2_norm"], ref["updated_residual_2_norm"], rtol=1e-11
+    )
+
+
+@pytest.mark.parametrize("variant", ["hs_cg", "cg_cg", "gv_cg", "pr_cg", "pipe_pr_cg"])
+def test_col_partition_matches_single_device(variant, mesh):
+    """The 5 mpi4py variants (scaling_experiments_mpi4py/cg_variants/)
+    in the mpi4py column-partitioned execution structure."""
+    # moderate kappa: on kappa=1e6 the trajectories decorrelate (correctly)
+    # within ~10 iterations from reduction-order roundoff alone
+    op, b, _ = cgt.model_spectrum(1024, kappa=100.0)
+    out = dist_run(variant, op, b, mesh=mesh, max_iter=150, partition="col",
+                   probes=("updated_residual_2_norm",), dtype=np.float64)
+    ref = cgt.run(variant, op, b, max_iter=150,
+                  probes=("updated_residual_2_norm",), dtype=np.float64)
+    # exact window before chaotic decorrelation sets in, then same
+    # convergence quality at the end
+    np.testing.assert_allclose(
+        out["updated_residual_2_norm"][:18],
+        ref["updated_residual_2_norm"][:18], rtol=1e-9,
+    )
+    ratio = out["updated_residual_2_norm"][-1] / ref["updated_residual_2_norm"][-1]
+    assert 0.1 < ratio < 10.0
+
+
+def test_dist_solve_forward_error(mesh):
+    """Known-solution forward error after a distributed solve — the
+    reference's correctness check (scaling_tests.py:74-81)."""
+    op, b, x_true = cgt.banded_model(4096, k=8)
+    res = dist_solve(op, b, variant="pipe_pr_pcg", mesh=mesh, rtol=1e-10,
+                     max_iter=4000, preconditioner="jacobi", dtype=np.float64)
+    assert res.converged
+    err = np.linalg.norm(np.asarray(res.x) - x_true)
+    assert err < 1e-5, f"forward error {err:.2e}"
+
+
+def test_dist_probes_with_error_norms(mesh):
+    op, b, x_true = cgt.banded_model(2048, k=4)
+    out = dist_run("pr_cg", op, b, mesh=mesh, max_iter=40,
+                   probes=("error_A_norm", "save_r"), x_true=x_true,
+                   dtype=np.float64)
+    assert out["error_A_norm"].shape == (40,)
+    assert out["save_r"].shape == (40, 2048)
+    assert out["error_A_norm"][-1] < out["error_A_norm"][0]
+
+
+def test_row_partition_halo_correctness(mesh):
+    """Bandwidth > 1 crossing shard boundaries: SpMV through the halo
+    exchange must equal the dense product."""
+    from functools import partial
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from new_cg_variants_tpu.parallel.contexts import RowShardContext
+
+    n, k = 512, 7
+    op, _, _ = cgt.banded_model(n, k=k, off_value=0.3, kappa=10.0)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(n)
+    w = rng.standard_normal(n)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, "i"), P("i"), P("i")),
+             out_specs=(P("i"), P("i"), P("i")))
+    def go(data_l, v_l, w_l):
+        ctx = RowShardContext(op.offsets, data_l, "i")
+        y = ctx.mv(v_l)
+        y2a, y2b = ctx.mv2(v_l, w_l)
+        return y, y2a, y2b
+
+    y, y2a, y2b = jax.jit(go)(op.data, v, w)
+    dense = np.asarray(op.todense())
+    np.testing.assert_allclose(np.asarray(y), dense @ v, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(y2a), dense @ v, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(y2b), dense @ w, rtol=1e-12)
