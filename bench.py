@@ -1,0 +1,91 @@
+"""Headline benchmark: pipe-PR-CG time/iteration on the PETSc model problem.
+
+Reproduces the reference's strong-scaling headline configuration on one
+TPU chip: the k-banded model problem with n = 650,000, k = 32 (65
+diagonals), rho = 0.95, kappa = 1e6, no preconditioner, fixed iteration
+count (``scaling_experiments_petsc/strong_scaling_tests.py:119-134``,
+``ex2a.c:77-95``) solved with the pipelined predict-and-recompute CG
+variant (``cg_impls/pipeprcg.c``).
+
+Baseline: the reference's own shipped timing data (min over trials, the
+reference's reduction — ``strong_scaling_plots.py:88``) gives KSPPIPEPRCG
+46.77 s / 4000 iterations = 11.69 ms/iter on one 14-core Intel x86 node
+(SURVEY.md §6).  ``vs_baseline`` is the speedup of one TPU chip over that
+one-node number: baseline_ms_per_iter / our_ms_per_iter.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+N = 650_000
+K_BAND = 32
+ITERS_PER_CHUNK = 200
+REPEATS = 3
+BASELINE_MS_PER_ITER = 46.77 / 4000 * 1000  # PETSc pipeprcg, 1 node, min over trials
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from new_cg_variants_tpu.matio.problems import banded_model
+    from new_cg_variants_tpu.ops.operators import DiaOperator
+    from new_cg_variants_tpu.solvers.context import Context
+    from new_cg_variants_tpu.solvers.families import FAMILIES
+
+    dtype = jnp.float32
+    op64, b, x_true = banded_model(N, k=K_BAND)
+    op = DiaOperator(op64.offsets, jnp.asarray(np.asarray(op64.data), dtype=dtype))
+    b = jnp.asarray(b, dtype=dtype)
+
+    init_fn, step_fn = FAMILIES["pipe_pr"]
+
+    @jax.jit
+    def init(data, b):
+        ctx = Context(DiaOperator(op.offsets, data), None)
+        return init_fn(ctx, b, jnp.zeros_like(b))
+
+    @jax.jit
+    def chunk(data, state):
+        ctx = Context(DiaOperator(op.offsets, data), None)
+        state = jax.lax.fori_loop(
+            0, ITERS_PER_CHUNK, lambda _, s: step_fn(ctx, s), state
+        )
+        return state
+
+    state = jax.block_until_ready(init(op.data, b))
+    state = jax.block_until_ready(chunk(op.data, state))  # compile + warm
+
+    # Time REPEATS chained chunks: every call sees a distinct input state
+    # (no layer below can serve a cached execution), and the device-to-host
+    # fetch of the final scalar forces the whole chain to really complete
+    # (block_until_ready alone does not synchronize through remote-device
+    # tunnels).  The one scalar fetch amortizes over REPEATS*ITERS iters.
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(REPEATS):
+        s = chunk(op.data, s)
+    nu_final = float(np.asarray(s["nu"]))
+    dt = time.perf_counter() - t0
+
+    # sanity: the solve must actually be converging (finite recurrence norm)
+    assert np.isfinite(nu_final), "diverged"
+
+    ms_per_iter = dt / (REPEATS * ITERS_PER_CHUNK) * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "pipe_pr_cg_time_per_iter_n650k_k32",
+                "value": round(ms_per_iter, 4),
+                "unit": "ms/iter",
+                "vs_baseline": round(BASELINE_MS_PER_ITER / ms_per_iter, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,74 @@ from .contexts import ColShardContext, RowShardContext
 
 __all__ = ["make_mesh", "dist_run", "dist_solve", "initialize_multihost"]
 
+
+def _dist_chunked(
+    variant, op, b, mesh, partition, preconditioner, max_iter, chunk_iters
+):
+    """Compiled init + fixed-iteration chunk under ``shard_map``, for the
+    scaling harness's timed trials (the analog of the mpi4py timed loop,
+    ``scaling_experiments_mpi4py/cg_variants/hs_cg.py:31-64``).
+
+    Returns ``one_trial(warm) -> (seconds, final_state)``; the state
+    crosses the shard_map boundary as global arrays (vectors sharded on
+    the mesh axis, scalars replicated), so chunks chain without
+    re-initialization and nothing below the timer can cache.
+    """
+    import time
+
+    from ..solvers.api import _resolve
+
+    partition = _check_partition(op, partition)
+    b = jnp.asarray(b, dtype=op.dtype)
+    x0 = jnp.zeros_like(b)
+    init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
+    operands, op_specs, build_ctx = _local_ctx_factory(op, partition, mesh, precond)
+    vec = P(AXIS)
+
+    # state spec: vectors sharded, scalars replicated (from abstract shapes)
+    def _init_local(local_operands, b_l, x0_l):
+        return init_fn(build_ctx(*local_operands), b_l, x0_l)
+
+    # State structure (which keys are vectors vs scalars) is identical in
+    # the single-device context, which needs no axis names — use it to
+    # derive the shard_map out_specs abstractly.
+    from ..solvers.context import Context
+
+    abstract_state = jax.eval_shape(
+        lambda b_, x0_: init_fn(Context(op, precond), b_, x0_), b, x0
+    )
+    state_specs = jax.tree.map(
+        lambda s: vec if getattr(s, "ndim", 0) >= 1 else P(), abstract_state
+    )
+
+    init_sm = jax.jit(
+        jax.shard_map(
+            _init_local, mesh=mesh, in_specs=(op_specs, vec, vec),
+            out_specs=state_specs,
+        )
+    )
+
+    def _chunk_local(local_operands, s):
+        ctx = build_ctx(*local_operands)
+        return jax.lax.fori_loop(0, chunk_iters, lambda _, st: step_fn(ctx, st), s)
+
+    chunk_sm = jax.jit(
+        jax.shard_map(
+            _chunk_local, mesh=mesh, in_specs=(op_specs, state_specs),
+            out_specs=state_specs,
+        )
+    )
+
+    def one_trial(warm=False):
+        s = init_sm(operands, b, x0)
+        t0 = time.perf_counter()
+        for _ in range(max(1, max_iter // chunk_iters)):
+            s = chunk_sm(operands, s)
+        float(np.asarray(s["nu"]))  # force completion through the tunnel
+        return time.perf_counter() - t0, s
+
+    return one_trial
+
 AXIS = "i"
 
 
