@@ -96,7 +96,7 @@ def read_mtx(path: str, native: bool = True) -> CooMatrix:
 
         if fmt == "coordinate":
             m, n, nnz = int(size_parts[0]), int(size_parts[1]), int(size_parts[2])
-            if native and nnz > 200_000:
+            if native and nnz > 200_000 and field != "pattern":
                 res = _try_native_read(path)
                 if res is not None:
                     row, col, val = res

@@ -128,13 +128,26 @@ class DiaOperator:
     def dtype(self):
         return self.data.dtype
 
+    def _use_pallas(self) -> bool:
+        from .spmv_pallas import supports
+
+        return jax.default_backend() == "tpu" and supports(self.offsets)
+
     def mv(self, v):
+        if self._use_pallas():
+            from .spmv_pallas import dia_spmv
+
+            return dia_spmv(self.offsets, self.data, v)
         y = self.data[0] * _shift(v, self.offsets[0])
         for d in range(1, len(self.offsets)):
             y = y + self.data[d] * _shift(v, self.offsets[d])
         return y
 
     def mv2(self, v, w):
+        if self._use_pallas():
+            from .spmv_pallas import dia_spmv2
+
+            return dia_spmv2(self.offsets, self.data, v, w)
         # One pass over `data` for both right-hand sides: stack the two
         # vectors on a trailing axis so each diagonal is read once.
         vw = jnp.stack([v, w], axis=1)  # (n, 2)
@@ -272,15 +285,22 @@ def from_coo(coo, fmt: str = "auto", dtype=jnp.float64, dia_max_diags: int = 256
     if fmt == "ell":
         counts = np.bincount(row, minlength=n)
         L = max(1, int(counts.max()))
-        ell_val = np.zeros((n, L), dtype=np.float64)
-        ell_idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, L))
-        slot = np.zeros(n, dtype=np.int64)
         order = np.lexsort((col, row))
-        for e in order:
-            i = row[e]
-            ell_val[i, slot[i]] += val[e]
-            ell_idx[i, slot[i]] = col[e]
-            slot[i] += 1
+        try:
+            from ..matio import _native
+
+            ell_val, ell_idx = _native.pack_ell(
+                row[order], col[order], val[order], n, L
+            )
+        except Exception:
+            ell_val = np.zeros((n, L), dtype=np.float64)
+            ell_idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, L))
+            slot = np.zeros(n, dtype=np.int64)
+            for e in order:
+                i = row[e]
+                ell_val[i, slot[i]] += val[e]
+                ell_idx[i, slot[i]] = col[e]
+                slot[i] += 1
         return EllOperator(
             jnp.asarray(ell_val, dtype=dtype), jnp.asarray(ell_idx), int(len(val))
         )

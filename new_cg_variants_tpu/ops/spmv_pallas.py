@@ -3,31 +3,31 @@
 The XLA lowering of :meth:`~.operators.DiaOperator.mv` materialises one
 shifted copy of the vector per diagonal (65 copies for the PETSc k=32
 model problem), pushing an HBM-roofline ~0.25 ms/iter problem to several
-ms.  These kernels make the single pass explicit:
+ms.  These kernels make the single pass explicit: the diagonal data array
+streams HBM -> VMEM once, row-tiled, and every shifted read is a VMEM
+slice.
 
-* the diagonal data array streams HBM -> VMEM once, row-tiled;
-* the (padded) vector is pinned whole in VMEM for the kernel's lifetime,
-  so every shifted read is a VMEM lane-rotate, not an HBM re-read;
-* ``dia_spmv2`` applies A to two right-hand sides in the same pass over
-  the data — the fused 2-RHS matvec the pipelined predict-and-recompute
-  variants need every iteration (the reference's ``np.dot(A, [r|s])``
-  packing, ``scaling_experiments_mpi4py/cg_variants/pipe_pr_cg.py:65``,
-  and the two overlapped ``MatMult`` calls of
-  ``scaling_experiments_petsc/cg_impls/pipeprcg.c:162-170``).
+Shift mechanics: Mosaic on this toolchain rejects dynamic slices whose
+start is program-id-dependent and not tile-aligned, so the kernel never
+slices dynamically.  The padded vector is passed TWICE with adjacent
+block index maps (``i`` and ``i+1``); their concatenation is the local
+window ``vp[i*T : i*T + 2T]`` and every diagonal's shifted read is a
+*static* slice ``window[h+off : h+off+T]`` (valid while the halo
+``h = max|offset|`` satisfies ``2h <= T``).  Each vector element is
+fetched twice — negligible next to the diagonal data, which dominates
+traffic ~ndiags:1.
 
-Layout: ``data[d, i] = A[i, i + offsets[d]]`` (row-indexed DIA, explicit
-zeros outside the matrix).  The kernel contract takes a *pre-padded*
-vector ``vp`` of length ``n_pad + 2h`` with ``vp[h : h + n] = v`` and
-zeros elsewhere (``h = max|offset|``), so that row ``i`` reads
-``vp[h + i + off]`` with no bounds checks; the zero padding IS the matrix
-boundary condition.  The same contract serves the distributed row-shard
-context, where the padding slots hold real halo rows from the ICI
-neighbors instead of zeros.
+``dia_spmv2`` applies A to two right-hand sides in the same pass over
+the data — the fused 2-RHS matvec the pipelined predict-and-recompute
+variants need every iteration (the reference's ``np.dot(A, [r|s])``
+packing, ``scaling_experiments_mpi4py/cg_variants/pipe_pr_cg.py:65``,
+and the two overlapped ``MatMult`` calls of
+``scaling_experiments_petsc/cg_impls/pipeprcg.c:162-170``).
 
-VMEM budget: the resident vector costs ``4*(n_pad+2h)`` bytes (×2 for the
-2-RHS kernel) plus a double-buffered ``(ndiags, tile)`` data block.
-:func:`fits_vmem` gates the fast path; callers fall back to the XLA
-formulation beyond it (a block-sliced variant can lift this later).
+Layout contract: ``data[d, i] = A[i, i + offsets[d]]`` (row-indexed DIA,
+explicit zeros outside the matrix).  Zero padding in the halo IS the
+matrix boundary condition; the distributed row-shard context reuses the
+same kernel with real neighbor rows in the halo slots instead of zeros.
 """
 
 from __future__ import annotations
@@ -36,69 +36,72 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-__all__ = ["dia_spmv", "dia_spmv2", "fits_vmem", "DEFAULT_TILE"]
+__all__ = ["dia_spmv", "dia_spmv2", "supports", "DEFAULT_TILE"]
 
 DEFAULT_TILE = 2048
-# Leave room for double-buffered data blocks + outputs in 16 MB of VMEM.
-_VMEM_VECTOR_BUDGET = 10 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def fits_vmem(n: int, h: int, nrhs: int = 1, dtype_bytes: int = 4) -> bool:
-    """Whether the resident-vector strategy fits the VMEM budget."""
-    n_pad = _round_up(max(n, 1), DEFAULT_TILE)
-    return nrhs * (n_pad + 2 * h) * dtype_bytes <= _VMEM_VECTOR_BUDGET
+def supports(offsets, tile: int = DEFAULT_TILE) -> bool:
+    """Fast path requires the band to fit the static-slice window."""
+    h = max(abs(int(o)) for o in offsets)
+    return 2 * h <= tile
 
 
 def _dia_kernel(offsets, tile, h, nrhs, *refs):
-    """y[j] = sum_d data[d, j] * vp[base + j + off_d] on one row tile."""
-    import jax.experimental.pallas as pl
-
+    """One row tile: y[j] = sum_d data[d, j] * window[j + h + off_d]."""
     data_ref = refs[0]
-    vp_refs = refs[1 : 1 + nrhs]
-    out_refs = refs[1 + nrhs :]
-    i = pl.program_id(0)
-    base = i * tile + h
+    v_refs = refs[1 : 1 + 2 * nrhs]
+    out_refs = refs[1 + 2 * nrhs :]
     for r in range(nrhs):
-        acc = data_ref[0, :] * vp_refs[r][pl.ds(base + offsets[0], tile)]
+        window = jnp.concatenate([v_refs[2 * r][:], v_refs[2 * r + 1][:]])
+        s0 = h + offsets[0]
+        acc = data_ref[0, :] * window[s0 : s0 + tile]
         for d in range(1, len(offsets)):
-            acc = acc + data_ref[d, :] * vp_refs[r][pl.ds(base + offsets[d], tile)]
+            s = h + offsets[d]
+            acc = acc + data_ref[d, :] * window[s : s + tile]
         out_refs[r][:] = acc
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "tile", "interpret", "n_out")
+    jax.jit, static_argnames=("offsets", "tile", "interpret", "n_out", "h")
 )
-def _dia_spmv_padded(offsets, data_p, vps, *, tile, interpret, n_out):
+def _dia_spmv_padded(offsets, data_p, vps, *, tile, interpret, n_out, h):
     """Core pallas_call on pre-padded operands.
 
-    ``data_p``: (ndiags, n_pad); ``vps``: tuple of (n_pad + 2h,) vectors.
-    Returns a tuple of (n_out,) results.
+    ``data_p``: (ndiags, n_pad) with ``n_pad % tile == 0``; each element
+    of ``vps`` has length ``n_pad + tile`` with the vector at offset
+    ``h`` (front halo) — blocks ``i`` and ``i+1`` of size ``tile`` cover
+    every window.  Returns a tuple of (n_out,) results.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ndiags, n_pad = data_p.shape
-    h = max(abs(o) for o in offsets)
     nrhs = len(vps)
     grid = (n_pad // tile,)
 
-    kernel = functools.partial(_dia_kernel, offsets, tile, h, nrhs)
-    flops = 2 * ndiags * n_pad * nrhs
+    kernel = functools.partial(_dia_kernel, tuple(offsets), tile, h, nrhs)
+    vec_specs = []
+    for _ in range(nrhs):
+        vec_specs.append(
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+        )
+        vec_specs.append(
+            pl.BlockSpec((tile,), lambda i: (i + 1,), memory_space=pltpu.VMEM)
+        )
+    itemsize = data_p.dtype.itemsize
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (ndiags, tile), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((ndiags, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
         ]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(nrhs)],
+        + vec_specs,
         out_specs=[
             pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
             for _ in range(nrhs)
@@ -107,35 +110,38 @@ def _dia_spmv_padded(offsets, data_p, vps, *, tile, interpret, n_out):
             jax.ShapeDtypeStruct((n_pad,), data_p.dtype) for _ in range(nrhs)
         ],
         cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=data_p.size * data_p.dtype.itemsize
-            + sum(v.size * v.dtype.itemsize for v in vps),
+            flops=2 * ndiags * n_pad * nrhs,
+            bytes_accessed=(ndiags + 3 * nrhs) * n_pad * itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(data_p, *vps)
+    )(data_p, *[x for v in vps for x in (v, v)])
     return tuple(y[:n_out] for y in out)
 
 
 def _pad_operands(offsets, data, vs, tile):
-    h = max(abs(o) for o in offsets)
+    h = max(abs(int(o)) for o in offsets)
+    if 2 * h > tile:
+        raise ValueError(f"halo {h} too wide for tile {tile}")
     n = data.shape[1]
     n_pad = _round_up(n, tile)
     if n_pad != n:
         data = jnp.pad(data, ((0, 0), (0, n_pad - n)))
+    # length n_pad + tile: front halo h, the rest zero ⇒ block i+1 of the
+    # last grid step stays in-bounds and reads zeros past the matrix end.
     vps = tuple(
-        jnp.zeros((n_pad + 2 * h,), v.dtype).at[h : h + n].set(v) for v in vs
+        jnp.zeros((n_pad + tile,), v.dtype).at[h : h + n].set(v) for v in vs
     )
-    return data, vps, n
+    return data, vps, n, h
 
 
 def dia_spmv(offsets, data, v, *, tile=DEFAULT_TILE, interpret=None):
     """``y = A @ v`` for a row-indexed DIA operator, one pass over data."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    data_p, vps, n = _pad_operands(offsets, data, (v,), tile)
+    data_p, vps, n, h = _pad_operands(offsets, data, (v,), tile)
     (y,) = _dia_spmv_padded(
-        tuple(offsets), data_p, vps, tile=tile, interpret=interpret, n_out=n
+        tuple(offsets), data_p, vps, tile=tile, interpret=interpret, n_out=n, h=h
     )
     return y
 
@@ -144,7 +150,7 @@ def dia_spmv2(offsets, data, v, w, *, tile=DEFAULT_TILE, interpret=None):
     """``(A @ v, A @ w)`` fused: data is streamed from HBM exactly once."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    data_p, vps, n = _pad_operands(offsets, data, (v, w), tile)
+    data_p, vps, n, h = _pad_operands(offsets, data, (v, w), tile)
     return _dia_spmv_padded(
-        tuple(offsets), data_p, vps, tile=tile, interpret=interpret, n_out=n
+        tuple(offsets), data_p, vps, tile=tile, interpret=interpret, n_out=n, h=h
     )

@@ -35,8 +35,21 @@ from jax import lax
 __all__ = ["RowShardContext", "ColShardContext"]
 
 
-def _psum_batch(pairs, axis):
-    """ONE fused reduction for a batch of inner products."""
+def _psum_batch(pairs, axis, compensated=False):
+    """ONE fused reduction for a batch of inner products.
+
+    With ``compensated`` the packed buffer carries (value, error) pairs
+    from the local error-free-transform dots; both components ride the
+    same single ``psum`` and are renormalized after the collective.
+    """
+    if compensated:
+        from ..ops.compensated import comp_dot_pair
+
+        vals, errs = zip(*(comp_dot_pair(a, b) for (a, b) in pairs))
+        packed = jnp.stack(list(vals) + list(errs))
+        summed = lax.psum(packed, axis)
+        k = len(pairs)
+        return tuple(summed[i] + summed[k + i] for i in range(k))
     partials = jnp.stack([jnp.vdot(a, b) for (a, b) in pairs])
     summed = lax.psum(partials, axis)
     return tuple(summed[i] for i in range(len(pairs)))
@@ -51,11 +64,12 @@ class RowShardContext:
     all the scaling model problems).
     """
 
-    def __init__(self, offsets, local_data, axis, precond=None):
+    def __init__(self, offsets, local_data, axis, precond=None, compensated=False):
         self.offsets = tuple(offsets)
         self.local_data = local_data
         self.axis = axis
         self.precond = precond
+        self.compensated = compensated
         self.h = max(abs(o) for o in self.offsets)
 
     @property
@@ -66,7 +80,7 @@ class RowShardContext:
         return self.precond.apply(v) if self.precond is not None else v
 
     def dots(self, *pairs):
-        return _psum_batch(pairs, self.axis)
+        return _psum_batch(pairs, self.axis, self.compensated)
 
     def _halo_extend(self, v):
         """[left halo | v | right halo] via two neighbor ppermute hops.
@@ -131,10 +145,11 @@ class ColShardContext:
     (``cg_variants/pipe_pr_cg.py:65``).
     """
 
-    def __init__(self, local_a, axis, precond=None):
+    def __init__(self, local_a, axis, precond=None, compensated=False):
         self.local_a = local_a
         self.axis = axis
         self.precond = precond
+        self.compensated = compensated
 
     @property
     def has_prec(self) -> bool:
@@ -144,7 +159,7 @@ class ColShardContext:
         return self.precond.apply(v) if self.precond is not None else v
 
     def dots(self, *pairs):
-        return _psum_batch(pairs, self.axis)
+        return _psum_batch(pairs, self.axis, self.compensated)
 
     def mv(self, v):
         partial = self.local_a @ v  # (n,) partial result

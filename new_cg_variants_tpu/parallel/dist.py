@@ -128,7 +128,7 @@ def _check_partition(op, partition):
     return partition
 
 
-def _local_ctx_factory(op, partition, mesh, precond):
+def _local_ctx_factory(op, partition, mesh, precond, compensated=False):
     """Returns (operands, in_specs, ctx_builder) for shard_map.
 
     The preconditioner rides along as a sharded operand: pointwise
@@ -147,13 +147,15 @@ def _local_ctx_factory(op, partition, mesh, precond):
         # DIA data is (ndiags, n), row-indexed — shard columns (= matrix rows)
         mat_operand, mat_spec = op.data, P(None, AXIS)
         def build_mat_ctx(local, prec_local):
-            return RowShardContext(op.offsets, local, AXIS, prec_local)
+            return RowShardContext(op.offsets, local, AXIS, prec_local,
+                                   compensated=compensated)
     else:
         # col partition: dense (n, n) — shard columns
         a = op.a if isinstance(op, DenseOperator) else op.todense()
         mat_operand, mat_spec = a, P(None, AXIS)
         def build_mat_ctx(local, prec_local):
-            return ColShardContext(local, AXIS, prec_local)
+            return ColShardContext(local, AXIS, prec_local,
+                                   compensated=compensated)
 
     if isinstance(precond, JacobiPreconditioner):
         prec_operand, prec_spec = precond.inv_diag, P(AXIS)
@@ -181,6 +183,7 @@ def dist_run(
     probes=("updated_residual_2_norm",),
     x_true=None,
     dtype=None,
+    compensated=False,
 ):
     """Distributed history run: the mesh analog of :func:`..solvers.api.run`.
 
@@ -203,7 +206,9 @@ def dist_run(
             x_true = _compute_x_true(op, b)
         aux_global["x_true"] = jnp.asarray(x_true, dtype=op.dtype)
 
-    operands, op_specs, build_ctx = _local_ctx_factory(op, partition, mesh, precond)
+    operands, op_specs, build_ctx = _local_ctx_factory(
+        op, partition, mesh, precond, compensated
+    )
 
     vec = P(AXIS)
     scal = P()
@@ -245,6 +250,7 @@ def dist_solve(
     preconditioner=None,
     norm_type="natural",
     dtype=None,
+    compensated=False,
 ):
     """Distributed tolerance solve: the mesh analog of :func:`..solvers.api.solve`."""
     if dtype is not None:
@@ -255,7 +261,9 @@ def dist_solve(
     b = jnp.asarray(b, dtype=op.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
     init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
-    operands, op_specs, build_ctx = _local_ctx_factory(op, partition, mesh, precond)
+    operands, op_specs, build_ctx = _local_ctx_factory(
+        op, partition, mesh, precond, compensated
+    )
 
     @partial(
         jax.shard_map,

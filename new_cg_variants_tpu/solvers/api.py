@@ -83,6 +83,7 @@ def run(
     w_replace=None,
     dtype=None,
     use_jit=True,
+    compensated=False,
 ):
     """Run ``max_iter`` iterations of a variant, capturing probe histories.
 
@@ -104,7 +105,7 @@ def run(
         aux["x_true"] = jnp.asarray(x_true, dtype=op.dtype)
 
     def go(op, precond, b, x0, aux):
-        ctx = Context(op, precond)
+        ctx = Context(op, precond, compensated=compensated)
         return history_scan(ctx, init_fn, step_fn, probe_fns, b, x0, max_iter, aux)
 
     if use_jit:
@@ -137,6 +138,7 @@ def solve(
     norm_type="natural",
     dtype=None,
     use_jit=True,
+    compensated=False,
 ):
     """Tolerance-driven solve with early exit (production path).
 
@@ -155,7 +157,7 @@ def solve(
     init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
 
     def go(op, precond, b, x0):
-        ctx = Context(op, precond)
+        ctx = Context(op, precond, compensated=compensated)
         s, k, nrm, tol = tolerance_loop(
             ctx, init_fn, step_fn, b, x0, max_iter, rtol, atol, norm_type
         )

@@ -28,11 +28,18 @@ __all__ = ["Context"]
 
 
 class Context:
-    """Single-device execution context."""
+    """Single-device execution context.
 
-    def __init__(self, op, precond=None):
+    ``compensated=True`` switches every inner product to the Dekker/Knuth
+    error-free-transform dot (:mod:`..ops.compensated`) — roughly double
+    the working precision for the reduction-sensitive CG scalars, the
+    f32-TPU substitute for the reference's float64 arithmetic.
+    """
+
+    def __init__(self, op, precond=None, compensated=False):
         self.op = op
         self.precond = precond
+        self.compensated = compensated
 
     @property
     def has_prec(self) -> bool:
@@ -52,6 +59,10 @@ class Context:
 
         Returns one scalar per ``(a, b)`` pair.
         """
+        if self.compensated:
+            from ..ops.compensated import comp_dot
+
+            return tuple(comp_dot(a, b) for (a, b) in pairs)
         return tuple(jnp.vdot(a, b) for (a, b) in pairs)
 
     def norm(self, v):

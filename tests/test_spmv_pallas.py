@@ -1,0 +1,60 @@
+"""Pallas DIA SpMV kernel parity vs the XLA shift formulation.
+
+Runs in interpreter mode on the CPU backend (conftest pins cpu/x64); the
+same kernel code compiles for TPU, where DiaOperator dispatches to it
+automatically.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from new_cg_variants_tpu.matio.problems import banded_model, model_spectrum
+from new_cg_variants_tpu.ops.spmv_pallas import (
+    DEFAULT_TILE,
+    dia_spmv,
+    dia_spmv2,
+    supports,
+)
+
+
+@pytest.mark.parametrize(
+    "n,k",
+    [
+        (2048, 1),  # diagonal only, exact tile multiple
+        (5000, 5),  # small band, ragged n
+        (4099, 32),  # PETSc bandwidth, ragged n
+        (1000, 8),  # n smaller than one tile
+    ],
+)
+def test_dia_spmv_parity(n, k):
+    op, _, _ = banded_model(n, k=k, kappa=100.0)
+    rng = np.random.default_rng(n)
+    v = jnp.asarray(rng.standard_normal(n))
+    y_ref = np.asarray(op.mv(v))
+    y = np.asarray(dia_spmv(op.offsets, op.data, v, interpret=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-13, atol=1e-13 * np.abs(y_ref).max())
+
+
+@pytest.mark.parametrize("n,k", [(5000, 5), (4099, 32)])
+def test_dia_spmv2_parity(n, k):
+    op, _, _ = banded_model(n, k=k, kappa=100.0)
+    rng = np.random.default_rng(n)
+    v = jnp.asarray(rng.standard_normal(n))
+    w = jnp.asarray(rng.standard_normal(n))
+    y1, y2 = dia_spmv2(op.offsets, op.data, v, w, interpret=True)
+    scale = float(np.abs(np.asarray(op.mv(v))).max())
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(op.mv(v)), rtol=1e-13, atol=1e-13 * scale)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(op.mv(w)), rtol=1e-13, atol=1e-13 * scale)
+
+
+def test_spectrum_diagonal_only():
+    op, b, x_true = model_spectrum(4096, kappa=1e4)
+    y = np.asarray(dia_spmv(op.offsets, op.data, jnp.asarray(x_true), interpret=True))
+    np.testing.assert_allclose(y, np.asarray(b), rtol=1e-13)
+
+
+def test_supports_gate():
+    assert supports((0, -1, 1))
+    wide = tuple(range(-DEFAULT_TILE, DEFAULT_TILE + 1, 64))
+    assert not supports(wide)
