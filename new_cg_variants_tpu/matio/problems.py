@@ -71,12 +71,17 @@ def banded_model(
     kappa: float = 1e6,
     rho: float = 0.95,
     dtype=np.float64,
+    fmt: str = "dia",
 ):
-    """k-banded model problem in DIA form.
+    """k-banded model problem.
 
     Off-diagonals at distances ``1 .. k-1`` on each side hold the constant
     ``off_value`` (band condition ``|i-j| < k``, matching ``ex2a.c:86-90``);
     nnz/row is ``2k - 1`` in the interior.
+
+    ``fmt='dia'`` returns the general DIA operator; ``fmt='stencil'``
+    returns the matrix-free :class:`~..ops.stencil.BandedStencilOperator`
+    (O(n) matvec, no matrix storage — the constant-band fast path).
 
     Returns ``(op, b, x_true)`` with ``x_true = 1`` (the PETSc drivers'
     exact solution ``u = 1``) and ``b = A @ x_true``.
@@ -84,6 +89,20 @@ def banded_model(
     from ..ops.operators import DiaOperator
 
     diag = banded_model_diagonal(n, kappa, rho, dtype)
+    if fmt == "stencil":
+        import jax.numpy as jnp
+
+        from ..ops.stencil import BandedStencilOperator
+
+        op = BandedStencilOperator(
+            jnp.asarray(diag), jnp.asarray(off_value, dtype=diag.dtype), k
+        )
+        x_true = np.ones(n, dtype=dtype)
+        counts = np.minimum(np.arange(n), k - 1) + np.minimum(
+            n - 1 - np.arange(n), k - 1
+        )
+        b = diag + off_value * counts
+        return op, b, x_true
     offsets = tuple(range(-(k - 1), k))
     ndiag = len(offsets)
     data = np.full((ndiag, n), off_value, dtype=dtype)

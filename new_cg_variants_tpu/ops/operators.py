@@ -309,10 +309,15 @@ def from_coo(coo, fmt: str = "auto", dtype=jnp.float64, dia_max_diags: int = 256
 
 
 def as_operator(a, dtype=None):
-    """Coerce an array / operator / CooMatrix into an operator."""
+    """Coerce an array / operator / CooMatrix into an operator.
+
+    Anything exposing the operator protocol (``mv``/``mv2``/``diagonal``)
+    passes through — e.g. :class:`~.stencil.BandedStencilOperator` or a
+    user-defined matrix-free operator.
+    """
     from ..matio.matrix_market import CooMatrix
 
-    if isinstance(a, (DenseOperator, DiaOperator, EllOperator)):
+    if hasattr(a, "mv") and hasattr(a, "diagonal"):
         return a if dtype is None else a.astype(dtype)
     if isinstance(a, CooMatrix):
         return from_coo(a, dtype=dtype or jnp.float64)

@@ -154,3 +154,46 @@ def dia_spmv2(offsets, data, v, w, *, tile=DEFAULT_TILE, interpret=None):
     return _dia_spmv_padded(
         tuple(offsets), data_p, vps, tile=tile, interpret=interpret, n_out=n, h=h
     )
+
+
+def _pad_operands_ext(offsets, data, vexts, tile):
+    """Pre-padded operands for halo-extended vectors.
+
+    ``vexts`` are ``[left_h | v | right_h]`` arrays of length ``m + 2h``
+    (the distributed row shard's post-ppermute layout) — the halo slots
+    take the place of the zero padding of :func:`_pad_operands`, so the
+    kernel math is unchanged.
+    """
+    h = max(abs(int(o)) for o in offsets)
+    if 2 * h > tile:
+        raise ValueError(f"halo {h} too wide for tile {tile}")
+    m = data.shape[1]
+    n_pad = _round_up(m, tile)
+    if n_pad != m:
+        data = jnp.pad(data, ((0, 0), (0, n_pad - m)))
+    vps = tuple(
+        jnp.zeros((n_pad + tile,), v.dtype).at[: m + 2 * h].set(v)
+        for v in vexts
+    )
+    return data, vps, m, h
+
+
+def dia_spmv_ext(offsets, data, vext, *, tile=DEFAULT_TILE, interpret=None):
+    """Local-shard SpMV: ``vext`` already carries the halo rows."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    data_p, vps, m, h = _pad_operands_ext(offsets, data, (vext,), tile)
+    (y,) = _dia_spmv_padded(
+        tuple(offsets), data_p, vps, tile=tile, interpret=interpret, n_out=m, h=h
+    )
+    return y
+
+
+def dia_spmv2_ext(offsets, data, vext, wext, *, tile=DEFAULT_TILE, interpret=None):
+    """Fused 2-RHS local-shard SpMV on halo-extended vectors."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    data_p, vps, m, h = _pad_operands_ext(offsets, data, (vext, wext), tile)
+    return _dia_spmv_padded(
+        tuple(offsets), data_p, vps, tile=tile, interpret=interpret, n_out=m, h=h
+    )

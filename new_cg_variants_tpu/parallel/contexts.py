@@ -100,6 +100,11 @@ class RowShardContext:
         right = lax.ppermute(v[:h], self.axis, [(d + 1, d) for d in range(p - 1)])
         return jnp.concatenate([left, v, right], axis=0)
 
+    def _use_pallas(self) -> bool:
+        from ..ops.spmv_pallas import supports
+
+        return jax.default_backend() == "tpu" and supports(self.offsets)
+
     def _dia_mv(self, vext, ncols=None):
         """y[i] = sum_d data[d, i] * vext[h + i + off_d] on the local rows."""
         m = self.local_data.shape[1]
@@ -123,11 +128,23 @@ class RowShardContext:
         return y
 
     def mv(self, v):
-        return self._dia_mv(self._halo_extend(v))
+        vext = self._halo_extend(v)
+        if self._use_pallas():
+            from ..ops.spmv_pallas import dia_spmv_ext
+
+            return dia_spmv_ext(self.offsets, self.local_data, vext)
+        return self._dia_mv(vext)
 
     def mv2(self, v, w):
         vw = jnp.stack([v, w], axis=1)  # one halo exchange for both RHS
-        y = self._dia_mv(self._halo_extend(vw), ncols=2)
+        vwext = self._halo_extend(vw)
+        if self._use_pallas():
+            from ..ops.spmv_pallas import dia_spmv2_ext
+
+            return dia_spmv2_ext(
+                self.offsets, self.local_data, vwext[:, 0], vwext[:, 1]
+            )
+        y = self._dia_mv(vwext, ncols=2)
         return y[:, 0], y[:, 1]
 
     def norm(self, v):

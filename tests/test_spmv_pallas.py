@@ -58,3 +58,27 @@ def test_supports_gate():
     assert supports((0, -1, 1))
     wide = tuple(range(-DEFAULT_TILE, DEFAULT_TILE + 1, 64))
     assert not supports(wide)
+
+
+def test_dia_spmv_ext_halo_parity():
+    """Halo-extended entry points match a manually sliced global matvec."""
+    n, k, p = 4096, 8, 4
+    op, _, _ = banded_model(n, k=k, kappa=100.0)
+    h = k - 1
+    m = n // p
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(n)
+    y_full = np.asarray(op.mv(jnp.asarray(v)))
+    data = np.asarray(op.data)
+    for d in range(p):
+        lo, hi = d * m, (d + 1) * m
+        left = v[lo - h : lo] if lo >= h else np.concatenate([np.zeros(h - lo), v[:lo]])
+        right = v[hi : hi + h] if hi + h <= n else np.concatenate([v[hi:], np.zeros(hi + h - n)])
+        vext = jnp.asarray(np.concatenate([left, v[lo:hi], right]))
+        local = jnp.asarray(data[:, lo:hi])
+        from new_cg_variants_tpu.ops.spmv_pallas import dia_spmv_ext, dia_spmv2_ext
+
+        y = np.asarray(dia_spmv_ext(op.offsets, local, vext, interpret=True))
+        np.testing.assert_allclose(y, y_full[lo:hi], rtol=1e-13, atol=1e-12)
+        y1, y2 = dia_spmv2_ext(op.offsets, local, vext, vext, interpret=True)
+        np.testing.assert_allclose(np.asarray(y1), y_full[lo:hi], rtol=1e-13, atol=1e-12)
