@@ -140,6 +140,10 @@ def cmd_convergence(args):
 
 def cmd_scaling(args):
     from .harness.scaling import scaling_run
+    from .utils.env_info import write_call_file
+
+    if args.data_dir:
+        write_call_file(args.data_dir, "scaling")
 
     kwargs = {}
     if args.problem == "banded":
@@ -156,6 +160,10 @@ def cmd_scaling(args):
         dtype=_dtype(args), data_dir=args.data_dir,
         **kwargs,
     )
+    if args.data_dir and args.plot:
+        from .harness.scaling_plots import plot_strong_scaling
+
+        print(plot_strong_scaling(args.data_dir, args.fig_dir))
     return 0
 
 
@@ -172,7 +180,7 @@ def main(argv=None):
                     help="variant name (e.g. hs_cg, pipe_pr_pcg)")
     ps.add_argument("--pc-type", choices=["none", "jacobi"], default="none")
     ps.add_argument("--ksp-norm-type",
-                    choices=["natural", "unpreconditioned", "none"],
+                    choices=["natural", "unpreconditioned", "preconditioned", "none"],
                     default="natural")
     ps.add_argument("--rtol", type=float, default=1e-8)
     ps.add_argument("--max-iter", type=int, default=10000)
@@ -204,6 +212,9 @@ def main(argv=None):
     pg.add_argument("--trials", type=int, default=3)
     pg.add_argument("--pc-type", choices=["none", "jacobi"], default="none")
     pg.add_argument("--data-dir", default=None)
+    pg.add_argument("--plot", action="store_true",
+                    help="emit strong-scaling figures after the runs")
+    pg.add_argument("--fig-dir", default="./figures")
     pg.set_defaults(fn=cmd_scaling)
 
     args = parser.parse_args(argv)

@@ -176,6 +176,11 @@ def scaling_run(
     else:
         raise ValueError(f"unknown problem {problem!r}")
 
+    if data_dir is not None:
+        from ..utils.env_info import write_env_info
+
+        write_env_info(data_dir)
+
     results = []
     for p in mesh_sizes:
         mesh = None if p == 1 else make_mesh(p)

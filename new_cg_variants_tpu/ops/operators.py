@@ -129,8 +129,12 @@ class DiaOperator:
         return self.data.dtype
 
     def _use_pallas(self) -> bool:
+        import os
+
         from .spmv_pallas import supports
 
+        if os.environ.get("NCGV_DISABLE_PALLAS"):
+            return False
         return jax.default_backend() == "tpu" and supports(self.offsets)
 
     def mv(self, v):

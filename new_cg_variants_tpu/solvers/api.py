@@ -84,6 +84,7 @@ def run(
     dtype=None,
     use_jit=True,
     compensated=False,
+    print_every=0,
 ):
     """Run ``max_iter`` iterations of a variant, capturing probe histories.
 
@@ -106,7 +107,8 @@ def run(
 
     def go(op, precond, b, x0, aux):
         ctx = Context(op, precond, compensated=compensated)
-        return history_scan(ctx, init_fn, step_fn, probe_fns, b, x0, max_iter, aux)
+        return history_scan(ctx, init_fn, step_fn, probe_fns, b, x0, max_iter,
+                            aux, print_every=print_every)
 
     if use_jit:
         go = jax.jit(go)

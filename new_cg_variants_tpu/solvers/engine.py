@@ -19,8 +19,14 @@ import jax.numpy as jnp
 __all__ = ["history_scan", "tolerance_loop"]
 
 
-def history_scan(ctx, init_fn, step_fn, probe_fns, b, x0, length, aux):
-    """Run ``length`` states (init + length-1 steps), stacking probe rows."""
+def history_scan(ctx, init_fn, step_fn, probe_fns, b, x0, length, aux,
+                 print_every=0):
+    """Run ``length`` states (init + length-1 steps), stacking probe rows.
+
+    ``print_every=K`` emits an in-loop progress line every K iterations
+    (the reference's ``print_k`` callback, ``callbacks/print_k.py:28-29``)
+    via ``jax.debug.print`` — no host sync, ordering best-effort.
+    """
     state = init_fn(ctx, b, x0)
 
     def probe_row(s):
@@ -28,6 +34,15 @@ def history_scan(ctx, init_fn, step_fn, probe_fns, b, x0, length, aux):
 
     def body(s, _):
         s2 = step_fn(ctx, s)
+        if print_every:
+            jax.lax.cond(
+                s2["k"] % print_every == 0,
+                lambda: jax.debug.print(
+                    "iter {k}: sqrt(nu) = {n}", k=s2["k"],
+                    n=jnp.sqrt(jnp.abs(s2["nu"])),
+                ),
+                lambda: None,
+            )
         return s2, probe_row(s2)
 
     row0 = probe_row(state)
@@ -52,6 +67,12 @@ def tolerance_loop(ctx, init_fn, step_fn, b, x0, max_iter, rtol, atol, norm_type
             return jnp.sqrt(jnp.abs(s["nu"]))
         if norm_type == "unpreconditioned":
             (rr,) = ctx.dots((s["r"], s["r"]))
+            return jnp.sqrt(rr)
+        if norm_type == "preconditioned":
+            # ||M^{-1} r||_2 (PETSc KSP_NORM_PRECONDITIONED); rt is carried
+            # only by preconditioned runs, identical to r otherwise
+            rt = s.get("rt", s["r"])
+            (rr,) = ctx.dots((rt, rt))
             return jnp.sqrt(rr)
         if norm_type == "none":
             return jnp.zeros((), dtype=s["nu"].dtype)
