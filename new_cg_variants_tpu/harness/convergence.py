@@ -149,12 +149,18 @@ def test_matrix(
     include_exact=False,
     dtype=None,
     fmt="auto",
+    resume=False,
 ):
     """Run ``variants`` on A, saving one trial dict per variant.
 
     Mirrors ``figure_gen.py:21-60``: ``x_true = 1/sqrt(N)``,
     ``b = A x_true``, ``x0 = 0``; ``exact_pcg`` (when requested) runs on
     host in ``np.longdouble`` with ``min(max_iter, N)`` iterations.
+
+    ``resume=True`` skips variants whose trial file already exists — the
+    experiment-level resumability the reference README describes
+    (re-run a single variant/matrix, regenerate only that figure;
+    ``predict_and_recompute/README.md:38-40``).
     """
     op = as_operator(A, dtype=dtype)
     n = op.n
@@ -166,7 +172,7 @@ def test_matrix(
     out_dir.mkdir(parents=True, exist_ok=True)
 
     results = {}
-    if include_exact:
+    if include_exact and not (resume and (out_dir / "exact_pcg.npy").exists()):
         trial = exact_pcg(
             a_dense, b, max_iter=min(max_iter, n), probes=PROBES,
             preconditioner=preconditioner, x_true=x_true,
@@ -175,6 +181,11 @@ def test_matrix(
         results["exact_pcg"] = trial
 
     for variant in variants:
+        if resume and (out_dir / f"{variant}.npy").exists():
+            results[variant] = np.load(
+                out_dir / f"{variant}.npy", allow_pickle=True
+            ).item()
+            continue
         trial = run(
             variant, op, b, max_iter=max_iter,
             preconditioner=preconditioner, probes=PROBES, x_true=x_true,
@@ -264,6 +275,7 @@ def run_convergence_suite(
     include_exact=False,
     make_plots=True,
     verbose=True,
+    resume=False,
 ):
     """The reference's main loop (figure_gen.py:343-363): run every
     available (matrix, preconditioner) config, emit plots + table rows.
@@ -287,7 +299,7 @@ def run_convergence_suite(
             print(f"matrix: {matrix_name}, preconditioner: {prec}")
         test_matrix(
             coo, max_iter, matrix_name, prec, variants=variants,
-            data_dir=data_dir, include_exact=include_exact,
+            data_dir=data_dir, include_exact=include_exact, resume=resume,
         )
         if make_plots:
             for quantity in ("error_A_norm", "error_2_norm", "residual_2_norm"):

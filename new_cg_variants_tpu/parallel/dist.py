@@ -184,6 +184,7 @@ def dist_run(
     x_true=None,
     dtype=None,
     compensated=False,
+    w_replace=None,
 ):
     """Distributed history run: the mesh analog of :func:`..solvers.api.run`.
 
@@ -197,7 +198,7 @@ def dist_run(
     partition = _check_partition(op, partition)
     b = jnp.asarray(b, dtype=op.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
-    init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
+    init_fn, step_fn, precond = _resolve(variant, op, preconditioner, w_replace)
     probe_fns = resolve_probes(probes)
 
     aux_global = {"b": b}

@@ -91,3 +91,28 @@ def test_scaling_result_roundtrip(tmp_path):
 
     d = json.loads(path.read_text())
     assert d["best"] == 0.1 and d["variant"] == "hs_cg"
+
+
+def test_resume_skips_existing(tmp_path, monkeypatch):
+    coo = cgt.load_matrix("nos4")
+    hc.test_matrix(coo, 30, "nos4", None, variants=("hs_cg",), data_dir=tmp_path)
+    # poison run(): resume must not call it again
+    import new_cg_variants_tpu.harness.convergence as hcmod
+
+    def boom(*a, **k):
+        raise AssertionError("run() called despite resume=True")
+
+    monkeypatch.setattr(hcmod, "run", boom)
+    out = hc.test_matrix(coo, 30, "nos4", None, variants=("hs_cg",),
+                         data_dir=tmp_path, resume=True)
+    assert "hs_cg" in out and out["hs_cg"]["max_iter"] == 30
+
+
+def test_launch_script_generation(tmp_path):
+    from new_cg_variants_tpu.parallel.launch import gen_multihost_script
+
+    paths = gen_multihost_script(tmp_path, "c:1", 4, ["solve", "-n", "64"])
+    assert len(paths) == 4
+    text = paths[2].read_text()
+    assert "JAX_PROCESS_ID=2" in text and "JAX_NUM_PROCESSES=4" in text
+    assert paths[0].stat().st_mode & 0o111
