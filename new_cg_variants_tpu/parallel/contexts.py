@@ -152,6 +152,52 @@ class RowShardContext:
         return jnp.sqrt(sq)
 
 
+class EllRowShardContext:
+    """Row-partitioned padded-ELL operator for GENERAL sparse matrices.
+
+    Each device owns an ``(m, L)`` block of rows with GLOBAL column
+    indices.  Arbitrary sparsity means the needed remote entries are not
+    a neighbor halo, so the vector is ``all_gather``-ed before the local
+    gather+reduce — the general-matrix fallback SURVEY §7 calls for
+    (traffic class of the reference mpi4py ``Allreduce`` combine, but
+    rides ICI as an all-gather).  Banded/DIA operators should use
+    :class:`RowShardContext` instead.
+    """
+
+    def __init__(self, local_val, local_idx, axis, precond=None,
+                 compensated=False):
+        self.local_val = local_val
+        self.local_idx = local_idx
+        self.axis = axis
+        self.precond = precond
+        self.compensated = compensated
+
+    @property
+    def has_prec(self) -> bool:
+        return self.precond is not None
+
+    def prec(self, v):
+        return self.precond.apply(v) if self.precond is not None else v
+
+    def dots(self, *pairs):
+        return _psum_batch(pairs, self.axis, self.compensated)
+
+    def mv(self, v):
+        v_full = lax.all_gather(v, self.axis, tiled=True)  # (n,)
+        return jnp.sum(self.local_val * v_full[self.local_idx], axis=1)
+
+    def mv2(self, v, w):
+        vw = jnp.stack([v, w], axis=1)  # ONE all_gather for both RHS
+        vw_full = lax.all_gather(vw, self.axis, tiled=True)  # (n, 2)
+        g = vw_full[self.local_idx]  # (m, L, 2)
+        out = jnp.sum(self.local_val[:, :, None] * g, axis=1)
+        return out[:, 0], out[:, 1]
+
+    def norm(self, v):
+        (sq,) = self.dots((v, v))
+        return jnp.sqrt(sq)
+
+
 class ColShardContext:
     """Column-partitioned dense operator (the mpi4py structure).
 

@@ -24,11 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.operators import DenseOperator, DiaOperator
+from ..ops.operators import DenseOperator, DiaOperator, EllOperator
 from ..probes.probes import resolve_probes
 from ..solvers.api import SolveResult, _compute_x_true, _resolve
 from ..solvers.engine import history_scan, tolerance_loop
-from .contexts import ColShardContext, RowShardContext
+from .contexts import ColShardContext, EllRowShardContext, RowShardContext
 
 __all__ = ["make_mesh", "dist_run", "dist_solve", "initialize_multihost"]
 
@@ -120,9 +120,9 @@ def initialize_multihost(**kwargs):
 
 def _check_partition(op, partition):
     if partition == "auto":
-        partition = "row" if isinstance(op, DiaOperator) else "col"
-    if partition == "row" and not isinstance(op, DiaOperator):
-        raise TypeError("row partition currently requires a DiaOperator")
+        partition = "row" if isinstance(op, (DiaOperator, EllOperator)) else "col"
+    if partition == "row" and not isinstance(op, (DiaOperator, EllOperator)):
+        raise TypeError("row partition requires a DiaOperator or EllOperator")
     if partition == "col" and not isinstance(op, (DenseOperator, DiaOperator)):
         raise TypeError("col partition requires a dense-representable operator")
     return partition
@@ -143,7 +143,13 @@ def _local_ctx_factory(op, partition, mesh, precond, compensated=False):
     if n % p:
         raise ValueError(f"n={n} must be divisible by mesh size {p}")
 
-    if partition == "row":
+    if partition == "row" and isinstance(op, EllOperator):
+        # ELL val/idx are (n, L) — shard rows; indices stay global
+        mat_operand, mat_spec = (op.val, op.idx), (P(AXIS, None), P(AXIS, None))
+        def build_mat_ctx(local, prec_local):
+            return EllRowShardContext(local[0], local[1], AXIS, prec_local,
+                                      compensated=compensated)
+    elif partition == "row":
         # DIA data is (ndiags, n), row-indexed — shard columns (= matrix rows)
         mat_operand, mat_spec = op.data, P(None, AXIS)
         def build_mat_ctx(local, prec_local):
