@@ -60,8 +60,12 @@ def main():
         )
         return state
 
-    state = jax.block_until_ready(init(op.data, b))
-    state = jax.block_until_ready(chunk(op.data, state))  # compile + warm
+    # Warmup: compile + execute both programs.  The host fetch (not just
+    # block_until_ready) is what actually drains compile+execution through
+    # a remote-device tunnel before the timer starts.
+    state = init(op.data, b)
+    state = chunk(op.data, state)
+    float(np.asarray(state["nu"]))
 
     # Time REPEATS chained chunks: every call sees a distinct input state
     # (no layer below can serve a cached execution), and the device-to-host
