@@ -25,8 +25,8 @@ import time
 # delta (per-iteration cost is linear in n).
 N = 651_264
 K_BAND = 32
-ITERS_PER_CHUNK = 200
-REPEATS = 3
+ITERS_PER_CHUNK = 1000
+REPEATS = 2
 BASELINE_MS_PER_ITER = 46.77 / 4000 * 1000  # PETSc pipeprcg, 1 node, min over trials
 
 

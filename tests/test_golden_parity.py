@@ -30,6 +30,10 @@ CASES = [
       "pipe_p_pcg", "pipe_pr_pcg", "pipe_p_m_pcg", "pipe_pr_m_pcg"]),
     ("nos4", "jacobi", 120, ["hs_pcg", "pr_pcg", "pipe_pr_pcg"]),
     ("model_48_8_3", "None", 110, ["hs_pcg", "pr_pcg", "pipe_pr_pcg", "gv_pcg"]),
+    ("nos5", "jacobi", 350, ["hs_pcg", "pr_pcg", "pipe_pr_pcg"]),
+    ("nos6", "jacobi", 130, ["hs_pcg", "cg_pcg", "pipe_pr_m_pcg"]),
+    ("bcsstm22", "None", 85, ["hs_pcg", "pr_pcg", "pipe_pr_pcg"]),
+    ("685_bus", "jacobi", 350, ["hs_pcg", "pipe_pr_pcg", "gv_pcg"]),
 ]
 
 
