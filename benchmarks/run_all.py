@@ -104,7 +104,9 @@ def main(argv=None):
             "rel_fwd_error_after_warm+chunks": err,
         }
         print(f"{variant:>12s}: {t_iter*1e3:.3f} ms/iter, "
-              f"{m['nnz_per_s']/1e9:.1f} Gnnz/s, relerr {err:.2e}")
+              f"{m['nnz_per_s']/1e9:.1f} Gnnz/s, relerr {err:.2e}",
+              flush=True)
+        _write(args, results)
 
     # config 1: residual-history parity (always f64 on host/CPU path)
     coo = cgt.load_matrix("bcsstk03")
@@ -125,14 +127,19 @@ def main(argv=None):
     print(f"parity: iters-to-1e-5 = {int(np.argmin(rel > 1e-5))}, "
           f"log10 best = {np.log10(np.nanmin(rel)):.1f}")
 
+    out_path = _write(args, results)
+    print("wrote", out_path)
+    return 0
+
+
+def _write(args, results):
     try:
         default_out = pathlib.Path(__file__).parent / "results.json"
     except NameError:  # exec'd without __file__
         default_out = pathlib.Path("benchmarks/results.json")
     out_path = pathlib.Path(args.out or default_out)
     out_path.write_text(json.dumps(results, indent=1))
-    print("wrote", out_path)
-    return 0
+    return out_path
 
 
 if __name__ == "__main__":
