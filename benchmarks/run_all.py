@@ -26,6 +26,9 @@ import time
 
 import numpy as np
 
+# runnable as `python benchmarks/run_all.py` from anywhere
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 
 def _fetch(x):
     return float(np.asarray(x))
