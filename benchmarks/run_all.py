@@ -34,8 +34,15 @@ def _fetch(x):
     return float(np.asarray(x))
 
 
-def time_fixed_iters(variant, op, b, iters, chunks=3):
-    """Steady-state ms/iter via chained chunks + final host fetch."""
+def time_fixed_iters(variant, op, b, iters, chunks=2):
+    """Steady-state ms/iter via chained solve calls + final host fetch.
+
+    ONE compiled program per variant (init + fori_loop in the same jit)
+    — remote compiles are minutes each, so program count dominates suite
+    wall time.  Chaining feeds each call a distinct right-hand side
+    (the previous solution) so no layer can serve a cached execution;
+    init adds ~3 matvecs, amortized over ``iters``.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -45,23 +52,24 @@ def time_fixed_iters(variant, op, b, iters, chunks=3):
     init_fn, step_fn, precond = _resolve(variant, op, None)
 
     @jax.jit
-    def init(op, b):
-        return init_fn(Context(op, precond), b, jnp.zeros_like(b))
-
-    @jax.jit
-    def chunk(op, state):
+    def run_iters(op, b):
         ctx = Context(op, precond)
+        state = init_fn(ctx, b, jnp.zeros_like(b))
         return jax.lax.fori_loop(0, iters, lambda _, s: step_fn(ctx, s), state)
 
-    s = init(op, b)
-    s = chunk(op, s)
+    s = run_iters(op, b)
     _fetch(s["nu"])  # compile + warm
     t0 = time.perf_counter()
+    bb = b
     for _ in range(chunks):
-        s = chunk(op, s)
+        s = run_iters(op, bb)
+        bb = s["r"]  # distinct rhs each call
     _fetch(s["nu"])
     dt = time.perf_counter() - t0
-    return dt / (chunks * iters), s
+    # the timed state solves a perturbed rhs; re-derive x-error from a
+    # fresh warm call on the true rhs
+    s_true = run_iters(op, b)
+    return dt / (chunks * iters), s_true
 
 
 def main(argv=None):
@@ -69,6 +77,8 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true",
                     help="small sizes (CI/CPU smoke)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--variants", default="",
+                    help="comma-separated subset (resume across runs)")
     args = ap.parse_args(argv)
 
     import jax
@@ -87,14 +97,27 @@ def main(argv=None):
     op = op.astype(dtype)
     b = np.asarray(b, np.float64)
 
+    # resume: merge into an existing results file so the suite can be
+    # completed across several bounded runs (one compile-heavy variant
+    # per invocation if need be)
+    prior = {}
+    try:
+        prior = json.loads(_out_path(args).read_text()).get("configs", {})
+    except Exception:
+        pass
     results = {"env": env_info(), "n": n, "iters_per_chunk": iters,
-               "configs": {}}
+               "configs": prior}
 
     # configs 2-5 on the banded model (matvec structure identical to the
     # reference scaling experiments); 2 matvecs/iter for pipe_pr
+    wanted = set(args.variants.split(",")) if args.variants else None
     for variant, mm in [("hs_cg", 1), ("cg_cg", 1), ("m_cg", 1),
                         ("gv_cg", 1), ("pr_cg", 1), ("pipe_pr_cg", 2),
                         ("pipe_p_cg", 1)]:
+        if wanted is not None and variant not in wanted:
+            continue
+        if wanted is None and variant in results["configs"]:
+            continue  # resume: already measured
         t_iter, s = time_fixed_iters(variant, op, b.astype(dtype), iters)
         x = np.asarray(s["x"], np.float64)
         err = float(np.linalg.norm(x - x_true) / np.linalg.norm(x_true))
@@ -111,7 +134,13 @@ def main(argv=None):
               flush=True)
         _write(args, results)
 
-    # config 1: residual-history parity (always f64 on host/CPU path)
+    # config 1: residual-history parity — f64 semantics, so only
+    # meaningful on the CPU backend (tests/test_golden_parity.py is the
+    # authoritative check; this is the timed flavor)
+    if on_tpu:
+        out_path = _write(args, results)
+        print("wrote", out_path, "(parity config skipped on TPU: needs f64)")
+        return 0
     coo = cgt.load_matrix("bcsstk03")
     a = coo.toarray()
     nn = a.shape[0]
@@ -135,12 +164,16 @@ def main(argv=None):
     return 0
 
 
-def _write(args, results):
+def _out_path(args):
     try:
         default_out = pathlib.Path(__file__).parent / "results.json"
     except NameError:  # exec'd without __file__
         default_out = pathlib.Path("benchmarks/results.json")
-    out_path = pathlib.Path(args.out or default_out)
+    return pathlib.Path(args.out or default_out)
+
+
+def _write(args, results):
+    out_path = _out_path(args)
     out_path.write_text(json.dumps(results, indent=1))
     return out_path
 

@@ -127,6 +127,24 @@ class RowShardContext:
             )
         return y
 
+    def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
+        """Local vector phase + ONE psum — the single sync is preserved:
+        the fused kernel's local partials ride the same packed psum the
+        generic path's dots() would."""
+        import jax
+
+        if jax.default_backend() == "tpu" and not self.compensated:
+            from ..ops.fused_step import fused_pipe_vector_phase
+
+            x2, r2, w2, p2, s2, part = fused_pipe_vector_phase(
+                x, r, w, u, p, s, a1, beta
+            )
+            summed = lax.psum(jnp.stack(part), self.axis)
+            return x2, r2, w2, p2, s2, tuple(summed[i] for i in range(4))
+        from ..solvers.context import generic_pipe_vector_phase
+
+        return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
+
     def mv(self, v):
         vext = self._halo_extend(v)
         if self._use_pallas():
@@ -182,6 +200,11 @@ class EllRowShardContext:
     def dots(self, *pairs):
         return _psum_batch(pairs, self.axis, self.compensated)
 
+    def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
+        from ..solvers.context import generic_pipe_vector_phase
+
+        return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
+
     def mv(self, v):
         v_full = lax.all_gather(v, self.axis, tiled=True)  # (n,)
         return jnp.sum(self.local_val * v_full[self.local_idx], axis=1)
@@ -223,6 +246,11 @@ class ColShardContext:
 
     def dots(self, *pairs):
         return _psum_batch(pairs, self.axis, self.compensated)
+
+    def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
+        from ..solvers.context import generic_pipe_vector_phase
+
+        return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
 
     def mv(self, v):
         partial = self.local_a @ v  # (n,) partial result

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["Context"]
+__all__ = ["Context", "generic_pipe_vector_phase"]
 
 
 class Context:
@@ -68,3 +68,33 @@ class Context:
     def norm(self, v):
         (sq,) = self.dots((v, v))
         return jnp.sqrt(sq)
+
+    def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
+        """Unpreconditioned pipe-P/PR vector phase + fused 4-dot batch.
+
+        Single pass on TPU (:mod:`..ops.fused_step`); the generic
+        formulation elsewhere.  Returns
+        ``(x2, r2, w2, p2, s2, (mu, delta, gamma, nu))``.
+        """
+        import jax
+
+        if jax.default_backend() == "tpu" and not self.compensated:
+            from ..ops.fused_step import fused_pipe_vector_phase
+
+            return fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta)
+        return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
+
+
+def generic_pipe_vector_phase(ctx, x, r, w, u, p, s, a1, beta):
+    """Reference formulation of the pipe vector phase over any context.
+
+    The dots call is the family's single sync phase — distributed
+    contexts map it to ONE psum.
+    """
+    x2 = x + a1 * p
+    r2 = r - a1 * s
+    w2 = w - a1 * u
+    p2 = r2 + beta * p
+    s2 = w2 + beta * s
+    dots = ctx.dots((p2, s2), (r2, s2), (s2, s2), (r2, r2))
+    return x2, r2, w2, p2, s2, dots

@@ -292,19 +292,33 @@ def pipe_init(ctx, b, x0):
 def make_pipe_step(meurant: bool, recompute: bool):
     def pipe_step(ctx, s_):
         a1 = s_["a"]
+        nu_pred = _predict_nu(meurant, s_)
+        beta = nu_pred / s_["nu"]
+        if not ctx.has_prec:
+            # fused vector phase: 5 updates + the single 4-dot sync in
+            # one kernel pass on TPU (ops/fused_step.py), generic
+            # formulation elsewhere — identical update order either way
+            x, r, w, p, s, (mu, delta, gamma, nu) = ctx.pipe_vector_phase(
+                s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+                a1, beta,
+            )
+            if recompute:
+                u, w = ctx.mv2(s, r)  # fused 2-RHS matvec
+            else:
+                u = ctx.mv(s)
+            new = dict(
+                x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
+                gamma=gamma, a=nu / mu, b=beta,
+            )
+            return _rotate(s_, new)
         x = s_["x"] + a1 * s_["p"]
         r = s_["r"] - a1 * s_["s"]
         w = s_["w"] - a1 * s_["u"]
-        if ctx.has_prec:
-            rt = s_["rt"] - a1 * s_["st"]
-            wt = s_["wt"] - a1 * s_["ut"]
-        else:
-            rt, wt = r, w
-        nu_pred = _predict_nu(meurant, s_)
-        beta = nu_pred / s_["nu"]
+        rt = s_["rt"] - a1 * s_["st"]
+        wt = s_["wt"] - a1 * s_["ut"]
         p = rt + beta * s_["p"]
         s = w + beta * s_["s"]
-        st_ = (wt + beta * s_["st"]) if ctx.has_prec else s
+        st_ = wt + beta * s_["st"]
         # The single communication phase: local dot partials are formed
         # first so the fused reduction can overlap BOTH matvecs below
         # (VecDotBegin/MDotBegin ... MatMult ... VecDotEnd in pipeprcg.c).

@@ -82,3 +82,29 @@ def test_dia_spmv_ext_halo_parity():
         np.testing.assert_allclose(y, y_full[lo:hi], rtol=1e-13, atol=1e-12)
         y1, y2 = dia_spmv2_ext(op.offsets, local, vext, vext, interpret=True)
         np.testing.assert_allclose(np.asarray(y1), y_full[lo:hi], rtol=1e-13, atol=1e-12)
+
+
+def test_fused_pipe_vector_phase_parity():
+    """Fused kernel (interpret) vs the generic formulation."""
+    import jax.numpy as jnp
+
+    from new_cg_variants_tpu.ops.fused_step import fused_pipe_vector_phase
+    from new_cg_variants_tpu.solvers.context import (
+        Context, generic_pipe_vector_phase,
+    )
+    from new_cg_variants_tpu.ops.operators import DenseOperator
+
+    rng = np.random.default_rng(11)
+    n = 5000  # ragged vs the 2048 tile
+    vecs = [jnp.asarray(rng.standard_normal(n)) for _ in range(6)]
+    a1 = jnp.asarray(0.37)
+    beta = jnp.asarray(0.81)
+
+    ctx = Context(DenseOperator(jnp.eye(4)))  # only dots() used
+    ref = generic_pipe_vector_phase(ctx, *vecs, a1, beta)
+    got = fused_pipe_vector_phase(*vecs, a1, beta, interpret=True)
+    for g, r in zip(got[:5], ref[:5]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-11,
+                                   atol=1e-14)
+    for g, r in zip(got[5], ref[5]):
+        np.testing.assert_allclose(float(g), float(r), rtol=1e-11)
