@@ -91,7 +91,7 @@ def main(argv=None):
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
     n = 65_536 if args.quick else 651_264
-    iters = 50 if args.quick else 200
+    iters = 50 if args.quick else 1000
 
     op, b, x_true = cgt.banded_model(n, k=32)
     op = op.astype(dtype)
