@@ -127,10 +127,14 @@ def cmd_convergence(args):
         configs = [c for c in configs if c[0] in wanted]
     if args.max_iter_cap:
         configs = [(m, min(mi, args.max_iter_cap), p) for m, mi, p in configs]
+    variants = (DEFAULT_VARIANTS if not args.variants
+                else tuple(args.variants.split(",")))
     done = run_convergence_suite(
         configs=configs,
-        variants=DEFAULT_VARIANTS if not args.variants
-        else tuple(args.variants.split(",")),
+        variants=variants,
+        # the paper's 7-column table needs all its variants present;
+        # subset runs emit a table over just the variants that ran
+        table_variants=None if not args.variants else variants,
         data_dir=args.data_dir, fig_dir=args.fig_dir,
         include_exact=args.exact, make_plots=not args.no_plots,
     )

@@ -268,7 +268,7 @@ def gen_convergence_table(data_dir="./data", fig_dir="./figures"):
 def run_convergence_suite(
     configs=None,
     variants=DEFAULT_VARIANTS,
-    table_variants=PAPER_VARIANTS,
+    table_variants=None,
     data_dir="./data",
     fig_dir="./figures",
     matrix_dir=None,
@@ -287,6 +287,8 @@ def run_convergence_suite(
     from . import plotting
 
     configs = MATRIX_CONFIGS if configs is None else configs
+    if table_variants is None:
+        table_variants = PAPER_VARIANTS
     done = []
     for matrix_name, max_iter, prec in configs:
         try:
