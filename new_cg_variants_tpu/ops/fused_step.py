@@ -93,7 +93,7 @@ def fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta, *,
         in_specs=[vec_spec] * 6
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[vec_spec] * 5
-        + [pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        + [pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((n_pad,), x.dtype)] * 5
         + [jax.ShapeDtypeStruct((n_pad // tile, 4), x.dtype)],
         cost_estimate=pl.CostEstimate(
