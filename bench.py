@@ -25,7 +25,9 @@ import time
 # delta (per-iteration cost is linear in n).
 N = 651_264
 K_BAND = 32
-ITERS_PER_CHUNK = 1000
+# 2 x 5000 chained iterations: per-dispatch tunnel latency (can be
+# seconds, fluctuating) amortizes to <0.05 ms/iter of noise
+ITERS_PER_CHUNK = 5000
 REPEATS = 2
 BASELINE_MS_PER_ITER = 46.77 / 4000 * 1000  # PETSc pipeprcg, 1 node, min over trials
 
