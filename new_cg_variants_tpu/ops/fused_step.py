@@ -41,6 +41,8 @@ def supports_fused(n: int, tile: int = DEFAULT_TILE) -> bool:
 
 def _kernel(tile, x_ref, r_ref, w_ref, u_ref, p_ref, s_ref, ab_ref,
             x_o, r_o, w_o, p_o, s_o, dots_o):
+    import jax.experimental.pallas as pl
+
     a1 = ab_ref[0]
     beta = ab_ref[1]
     x = x_ref[:] + a1 * p_ref[:]
@@ -53,12 +55,23 @@ def _kernel(tile, x_ref, r_ref, w_ref, u_ref, p_ref, s_ref, ab_ref,
     w_o[:] = w
     p_o[:] = p
     s_o[:] = s
-    # local dot partials of the single sync phase:
+    # Local dot partials of the single sync phase, accumulated across the
+    # (sequential) TPU grid into one full-array VMEM (4, 128) output —
+    # per-tile blocked outputs of shape (1, 4) violate the Mosaic (8, 128)
+    # tiling rule, and scalar SMEM accumulation serializes the pipeline;
+    # a revisited lane-wise vector accumulator does neither.  Final
+    # cross-lane reduction happens outside the kernel (4x128, trivial).
     # mu = p.s, delta = r.st (= r.s), gamma = st.s (= s.s), nu = rt.r (= r.r)
-    dots_o[0, 0] = jnp.sum(p * s)
-    dots_o[0, 1] = jnp.sum(r * s)
-    dots_o[0, 2] = jnp.sum(s * s)
-    dots_o[0, 3] = jnp.sum(r * r)
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dots_o[...] = jnp.zeros_like(dots_o)
+
+    def lanes(prod):
+        return jnp.sum(prod.reshape(-1, 128), axis=0)
+
+    dots_o[...] += jnp.stack(
+        [lanes(p * s), lanes(r * s), lanes(s * s), lanes(r * r)]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -93,9 +106,9 @@ def fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta, *,
         in_specs=[vec_spec] * 6
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[vec_spec] * 5
-        + [pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.SMEM)],
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((n_pad,), x.dtype)] * 5
-        + [jax.ShapeDtypeStruct((n_pad // tile, 4), x.dtype)],
+        + [jax.ShapeDtypeStruct((4, 128), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=18 * n_pad,
             bytes_accessed=11 * n_pad * x.dtype.itemsize,
@@ -103,8 +116,8 @@ def fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta, *,
         ),
         interpret=interpret,
     )(pad1(x), pad1(r), pad1(w), pad1(u), pad1(p), pad1(s), ab)
-    x2, r2, w2, p2, s2, partials = outs
-    dots = jnp.sum(partials, axis=0)
+    x2, r2, w2, p2, s2, lanes = outs
+    dots = jnp.sum(lanes, axis=1)
     if pad:
         x2, r2, w2, p2, s2 = (v[:n] for v in (x2, r2, w2, p2, s2))
     return x2, r2, w2, p2, s2, (dots[0], dots[1], dots[2], dots[3])

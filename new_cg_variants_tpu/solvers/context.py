@@ -72,13 +72,23 @@ class Context:
     def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
         """Unpreconditioned pipe-P/PR vector phase + fused 4-dot batch.
 
-        Single pass on TPU (:mod:`..ops.fused_step`); the generic
-        formulation elsewhere.  Returns
-        ``(x2, r2, w2, p2, s2, (mu, delta, gamma, nu))``.
+        Default is the generic formulation: XLA fuses the 5 elementwise
+        updates and 4 reductions into one pass already, and measured
+        on-chip it beats the standalone Pallas kernel
+        (:mod:`..ops.fused_step`, opt-in via ``NCGV_FUSED_STEP=1``) —
+        0.321 vs 0.364 ms/iter on the n=650k headline (PERF.md).
+        Returns ``(x2, r2, w2, p2, s2, (mu, delta, gamma, nu))``.
         """
+        import os
+
         import jax
 
-        if jax.default_backend() == "tpu" and not self.compensated:
+        if (
+            os.environ.get("NCGV_FUSED_STEP")
+            and jax.default_backend() == "tpu"
+            and not self.compensated
+            and not os.environ.get("NCGV_DISABLE_PALLAS")
+        ):
             from ..ops.fused_step import fused_pipe_vector_phase
 
             return fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta)
