@@ -26,7 +26,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_pipe_vector_phase", "supports_fused"]
+__all__ = [
+    "fused_pipe_vector_phase",
+    "supports_fused",
+    "fused_pipe_full_step",
+    "supports_full_step",
+]
 
 DEFAULT_TILE = 2048
 
@@ -121,3 +126,185 @@ def fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta, *,
     if pad:
         x2, r2, w2, p2, s2 = (v[:n] for v in (x2, r2, w2, p2, s2))
     return x2, r2, w2, p2, s2, (dots[0], dots[1], dots[2], dots[3])
+
+
+# ---------------------------------------------------------------------------
+# Whole-iteration fusion: vector phase + fused 2-RHS DIA SpMV in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The split execution (XLA-fused vector phase, then the spmv_pallas 2-RHS
+# kernel) re-reads the updated r and s from HBM, pads them into the halo
+# layout (a write+read of 2 vectors per iteration) and fetches each padded
+# vector twice (adjacent-block windows).  This kernel runs the ENTIRE
+# unpreconditioned pipe-P/PR iteration body in one pass over HBM:
+#
+#   read  data (ndiags rows), x, r, w, u, p, s       (ndiags + 6 streams)
+#   write x', r', p', s', u' = A s', w' = A r'       (6 streams)
+#
+# The SpMV of the *updated* r', s' needs h = max|offset| rows from the
+# neighboring tiles.  Those updates are elementwise, so the wrapper
+# precomputes them on just the 2h boundary rows of each tile (an XLA
+# sliver computation, ~nt*2h elements) and lays them into per-tile
+# 1024-element halo pieces:
+#
+#   lo[i*1024 + 1024-h : (i+1)*1024] = v'[iT-h : iT]      (back halo)
+#   hi[i*1024 : i*1024 + h]          = v'[iT+T : iT+T+h]  (front halo)
+#
+# so the kernel window is  concat([lo_i (1024) | center (tile) | hi_i
+# (1024)])  with every piece offset a multiple of the 8x128 vreg — Mosaic
+# rejects concatenation at sub-tile offsets ("input offsets outside of
+# the first tile") — and every diagonal's shifted read is the static
+# value slice  window[1024+off : 1024+off+tile], exactly the proven
+# mechanics of the spmv_pallas kernels.
+#
+# Mirrors the single overlapped communication phase of the PETSc
+# KSPPIPEPRCG hot loop (cg_impls/pipeprcg.c:145-173): the 8-AXPY block,
+# the VecDot/VecMDot partials and both MatMults are one fused region.
+
+HALO_PIECE = 1024
+
+
+def supports_full_step(offsets, n: int, tile: int = DEFAULT_TILE) -> bool:
+    """Full-step fusion needs the band inside the halo piece."""
+    h = max(abs(int(o)) for o in offsets)
+    return h <= HALO_PIECE and n % tile == 0 and n // tile >= 2
+
+
+def _full_kernel(offsets, tile, recompute, data_ref, x_ref, r_ref, w_ref,
+                 u_ref, p_ref, s_ref, lo_r_ref, hi_r_ref, lo_s_ref, hi_s_ref,
+                 ab_ref, x_o, r_o, p_o, s_o, u_o, w_o, dots_o):
+    import jax.experimental.pallas as pl
+
+    a1 = ab_ref[0]
+    beta = ab_ref[1]
+    # center-tile vector phase (update order = families.make_pipe_step)
+    r2 = r_ref[:] - a1 * s_ref[:]
+    w2 = w_ref[:] - a1 * u_ref[:]
+    s2 = w2 + beta * s_ref[:]
+    p2 = r2 + beta * p_ref[:]
+    x_o[:] = x_ref[:] + a1 * p_ref[:]
+    r_o[:] = r2
+    p_o[:] = p2
+    s_o[:] = s2
+
+    def spmv(win):
+        o0 = offsets[0]
+        acc = data_ref[0, :] * win[HALO_PIECE + o0 : HALO_PIECE + o0 + tile]
+        for d in range(1, len(offsets)):
+            o = offsets[d]
+            acc = acc + data_ref[d, :] * win[HALO_PIECE + o : HALO_PIECE + o + tile]
+        return acc
+
+    u_o[:] = spmv(jnp.concatenate([lo_s_ref[:], s2, hi_s_ref[:]]))
+    if recompute:
+        w_o[:] = spmv(jnp.concatenate([lo_r_ref[:], r2, hi_r_ref[:]]))
+    else:
+        w_o[:] = w2
+
+    # local 4-dot partials of the single sync phase.  Each grid step
+    # writes its OWN (8, 128) block (rows 0-3 = partials, 4-7 zero) so
+    # there is no cross-step accumulator dependency and the grid stays
+    # embarrassingly parallel; XLA reduces the (nt, 8, 128) afterwards
+    # (~1 MB, microseconds).
+    del pl  # grid-independent kernel body
+    zero = jnp.zeros_like(r2, shape=(128,))
+
+    def lanes(prod):
+        return jnp.sum(prod.reshape(-1, 128), axis=0)
+
+    dots_o[0] = jnp.stack(
+        [lanes(p2 * s2), lanes(r2 * s2), lanes(s2 * s2), lanes(r2 * r2),
+         zero, zero, zero, zero]
+    )
+
+
+def _boundary_rows(v, h, nt, tile):
+    """Per-tile boundary slivers of ``v``: rows [iT-h,iT) and [iT+T,iT+T+h)."""
+    v_r = v.reshape(nt, tile)
+    z = jnp.zeros((1, h), v.dtype)
+    low = jnp.concatenate([z, v_r[:-1, tile - h:]], axis=0)
+    high = jnp.concatenate([v_r[1:, :h], z], axis=0)
+    return low, high
+
+
+def _halo_pieces(lows, highs, h, nt, dtype):
+    """(nt*HALO_PIECE,) aligned back/front halo pieces (see layout above)."""
+    lo = jnp.zeros((nt, HALO_PIECE), dtype).at[:, HALO_PIECE - h:].set(lows)
+    hi = jnp.zeros((nt, HALO_PIECE), dtype).at[:, :h].set(highs)
+    return lo.reshape(-1), hi.reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "tile", "interpret", "recompute")
+)
+def fused_pipe_full_step(offsets, data, x, r, w, u, p, s, a1, beta, *,
+                         recompute=True, tile=DEFAULT_TILE, interpret=None):
+    """One fused unpreconditioned pipe-P/PR iteration body.
+
+    Returns ``(x2, r2, w_out, p2, s2, u2, (mu, delta, gamma, nu))`` with
+    ``u2 = A s2`` and ``w_out = A r2`` if ``recompute`` else the
+    recurrence value ``w - a1*u`` — the semantics of
+    ``pipe_vector_phase`` followed by ``mv2``/``mv``.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n = x.shape[0]
+    ndiags = data.shape[0]
+    assert n % tile == 0 and data.shape[1] == n
+    nt = n // tile
+    h = max(abs(int(o)) for o in offsets)
+    assert h <= HALO_PIECE
+
+    ab = jnp.stack([a1, beta]).astype(x.dtype)
+    # the updated r/s on each tile's 2h boundary rows, computed by XLA on
+    # slivers (duplicates a negligible fraction of the kernel's update)
+    r_lo, r_hi = _boundary_rows(r, h, nt, tile)
+    s_lo, s_hi = _boundary_rows(s, h, nt, tile)
+    w_lo, w_hi = _boundary_rows(w, h, nt, tile)
+    u_lo, u_hi = _boundary_rows(u, h, nt, tile)
+    r2_lo, r2_hi = (r_lo - a1 * s_lo, r_hi - a1 * s_hi)
+    s2_lo, s2_hi = ((w_lo - a1 * u_lo) + beta * s_lo,
+                    (w_hi - a1 * u_hi) + beta * s_hi)
+    lo_r, hi_r = _halo_pieces(r2_lo, r2_hi, h, nt, x.dtype)
+    lo_s, hi_s = _halo_pieces(s2_lo, s2_hi, h, nt, x.dtype)
+
+    vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec(
+        (HALO_PIECE,), lambda i: (i,), memory_space=pltpu.VMEM
+    )
+    itemsize = data.dtype.itemsize
+    nrhs = 2 if recompute else 1
+    outs = pl.pallas_call(
+        functools.partial(_full_kernel, tuple(offsets), tile, recompute),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((ndiags, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ]
+        + [vec_spec] * 6
+        + [halo_spec] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[vec_spec] * 6
+        + [
+            pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n,), x.dtype)] * 6
+        + [jax.ShapeDtypeStruct((nt, 8, 128), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * ndiags * nrhs + 18) * n,
+            bytes_accessed=(ndiags + 13) * n * itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)
+        ),
+        interpret=interpret,
+    )(data, x, r, w, u, p, s, lo_r, hi_r, lo_s, hi_s, ab)
+    x2, r2, p2, s2, u2, w_out, lanes_acc = outs
+    dots = jnp.sum(lanes_acc, axis=(0, 2))
+    return x2, r2, w_out, p2, s2, u2, (dots[0], dots[1], dots[2], dots[3])

@@ -94,6 +94,48 @@ class Context:
             return fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta)
         return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
 
+    def pipe_full_step(self, s_, a1, beta, recompute):
+        """Whole-iteration fusion for unpreconditioned pipe-P/PR on DIA.
+
+        Vector phase + 4-dot partials + both SpMVs in ONE Pallas pass
+        (:func:`..ops.fused_step.fused_pipe_full_step`) — the TPU analog
+        of the PETSc KSPPIPEPRCG fused hot-loop region
+        (``cg_impls/pipeprcg.c:145-173``).  Returns ``None`` when the
+        operator/shape/backend doesn't qualify and the caller falls back
+        to the split formulation.  ``NCGV_FULL_FUSED=0`` disables; ``=1``
+        forces it (interpret mode off-TPU, for tests).
+        """
+        import os
+
+        import jax
+
+        mode = os.environ.get("NCGV_FULL_FUSED", "")
+        if (
+            mode == "0"
+            or self.compensated
+            or self.has_prec
+            or os.environ.get("NCGV_DISABLE_PALLAS")
+        ):
+            return None
+        on_tpu = jax.default_backend() == "tpu"
+        if not on_tpu and mode != "1":
+            return None
+        from ..ops.operators import DiaOperator
+
+        if not isinstance(self.op, DiaOperator):
+            return None
+        from ..ops.fused_step import fused_pipe_full_step, supports_full_step
+
+        n = s_["x"].shape[0]
+        if self.op.data.shape[1] != n or not supports_full_step(self.op.offsets, n):
+            return None
+        return fused_pipe_full_step(
+            self.op.offsets, self.op.data,
+            s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+            a1, beta, recompute=recompute,
+            interpret=None if on_tpu else True,
+        )
+
 
 def generic_pipe_vector_phase(ctx, x, r, w, u, p, s, a1, beta):
     """Reference formulation of the pipe vector phase over any context.

@@ -295,6 +295,18 @@ def make_pipe_step(meurant: bool, recompute: bool):
         nu_pred = _predict_nu(meurant, s_)
         beta = nu_pred / s_["nu"]
         if not ctx.has_prec:
+            # whole-iteration fusion first: vector phase + dot partials +
+            # both SpMVs as ONE Pallas pass over HBM (ops/fused_step.py
+            # full-step kernel) when the context/operator qualifies
+            full = getattr(ctx, "pipe_full_step", None)
+            fused = full(s_, a1, beta, recompute) if full is not None else None
+            if fused is not None:
+                x, r, w, p, s, u, (mu, delta, gamma, nu) = fused
+                new = dict(
+                    x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
+                    gamma=gamma, a=nu / mu, b=beta,
+                )
+                return _rotate(s_, new)
             # fused vector phase: 5 updates + the single 4-dot sync in
             # one kernel pass on TPU (ops/fused_step.py), generic
             # formulation elsewhere — identical update order either way
