@@ -10,9 +10,15 @@ The reference's distributed structure (SURVEY §2.9) maps here:
   non-circular ``lax.ppermute`` hops over the ICI ring.
 * **Column partition + allreduce combine** (mpi4py dense column blocks,
   ``scaling_experiments_mpi4py/scaling_tests.py:51-54``) →
-  :class:`ColShardContext`: local GEMM partial + ``psum_scatter``
-  (reduce-scatter — strictly less traffic than the reference's full
-  ``Allreduce``, each device keeps only its slice).
+  :class:`ColShardContext`.  Its default ``packed=True`` mode is the
+  reference's *single-collective* structure: the matvec GEMM partials
+  and the sync phase's scalar partials ride ONE ``psum`` buffer
+  (``cg_variants/gv_cg.py:29-38``, ``pipe_pr_cg.py:24-45`` pack
+  ``t|nu|eta`` resp. ``[w'|u]|mu,delta,gamma,nu`` into one
+  ``Allreduce``), so gv/pipe-PR cost exactly one collective latency per
+  iteration.  ``packed=False`` switches the matvec combine to
+  ``psum_scatter`` (reduce-scatter: half the traffic, each device keeps
+  only its slice) at the price of a second, scalar-only collective.
 * **Reduction fusion via buffer packing** (one ``Allreduce`` carrying
   all scalars, ``cg_variants/pipe_pr_cg.py:31-45``) → ``dots`` stacks
   all local partials of a sync phase into one small vector and issues a
@@ -20,9 +26,10 @@ The reference's distributed structure (SURVEY §2.9) maps here:
   before calling the matvec, the psum and the SpMV have no data
   dependence and XLA's async collectives can overlap them — the
   ``VecDotBegin/PetscCommSplitReductionBegin/VecDotEnd`` split
-  (``pipeprcg.c:154-173``) without explicit begin/end calls.
+  (``pipeprcg.c:154-173``) without explicit begin/end calls
+  (tests/test_overlap_structure.py pins the independence).
 
-Both contexts run *inside* ``shard_map`` over a 1-D mesh axis; the
+All contexts run *inside* ``shard_map`` over a 1-D mesh axis; the
 solver step functions are unchanged.
 """
 
@@ -32,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["RowShardContext", "ColShardContext"]
+__all__ = ["RowShardContext", "ColShardContext", "EllRowShardContext"]
 
 
 def _psum_batch(pairs, axis, compensated=False):
@@ -55,7 +62,52 @@ def _psum_batch(pairs, axis, compensated=False):
     return tuple(summed[i] for i in range(len(pairs)))
 
 
-class RowShardContext:
+class _MeshContext:
+    """Shared mesh-context behavior (preconditioner, fused reductions).
+
+    ``mv_dots``/``mv2_dots`` are the matvec+scalar synchronization phase
+    of the pipelined families (gv/pipe-*): the default keeps them as two
+    independent operations with the dots ISSUED FIRST, so the scalar
+    psum can overlap the SpMV (the split-reduction order of
+    ``pipeprcg.c:154-173``).  :class:`ColShardContext` overrides them to
+    pack everything into one collective (the mpi4py structure).
+    """
+
+    precond = None
+    compensated = False
+
+    @property
+    def has_prec(self) -> bool:
+        return self.precond is not None
+
+    def prec(self, v):
+        return self.precond.apply(v) if self.precond is not None else v
+
+    def dots(self, *pairs):
+        return _psum_batch(pairs, self.axis, self.compensated)
+
+    def mv_dots(self, v, pairs):
+        """``(A v, dots(pairs))`` as one synchronization phase."""
+        d = self.dots(*pairs)
+        return self.mv(v), d
+
+    def mv2_dots(self, v, w, pairs):
+        """``(A v, A w, dots(pairs))`` as one synchronization phase."""
+        d = self.dots(*pairs)
+        y, z = self.mv2(v, w)
+        return y, z, d
+
+    def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
+        from ..solvers.context import generic_pipe_vector_phase
+
+        return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
+
+    def norm(self, v):
+        (sq,) = self.dots((v, v))
+        return jnp.sqrt(sq)
+
+
+class RowShardContext(_MeshContext):
     """Row-partitioned DIA operator on a 1-D mesh axis.
 
     ``local_data`` is the device's ``(ndiags, m)`` slice of the global
@@ -71,16 +123,6 @@ class RowShardContext:
         self.precond = precond
         self.compensated = compensated
         self.h = max(abs(o) for o in self.offsets)
-
-    @property
-    def has_prec(self) -> bool:
-        return self.precond is not None
-
-    def prec(self, v):
-        return self.precond.apply(v) if self.precond is not None else v
-
-    def dots(self, *pairs):
-        return _psum_batch(pairs, self.axis, self.compensated)
 
     def _halo_extend(self, v):
         """[left halo | v | right halo] via two neighbor ppermute hops.
@@ -165,12 +207,8 @@ class RowShardContext:
         y = self._dia_mv(vwext, ncols=2)
         return y[:, 0], y[:, 1]
 
-    def norm(self, v):
-        (sq,) = self.dots((v, v))
-        return jnp.sqrt(sq)
 
-
-class EllRowShardContext:
+class EllRowShardContext(_MeshContext):
     """Row-partitioned padded-ELL operator for GENERAL sparse matrices.
 
     Each device owns an ``(m, L)`` block of rows with GLOBAL column
@@ -190,21 +228,6 @@ class EllRowShardContext:
         self.precond = precond
         self.compensated = compensated
 
-    @property
-    def has_prec(self) -> bool:
-        return self.precond is not None
-
-    def prec(self, v):
-        return self.precond.apply(v) if self.precond is not None else v
-
-    def dots(self, *pairs):
-        return _psum_batch(pairs, self.axis, self.compensated)
-
-    def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
-        from ..solvers.context import generic_pipe_vector_phase
-
-        return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
-
     def mv(self, v):
         v_full = lax.all_gather(v, self.axis, tiled=True)  # (n,)
         return jnp.sum(self.local_val * v_full[self.local_idx], axis=1)
@@ -216,41 +239,105 @@ class EllRowShardContext:
         out = jnp.sum(self.local_val[:, :, None] * g, axis=1)
         return out[:, 0], out[:, 1]
 
-    def norm(self, v):
-        (sq,) = self.dots((v, v))
-        return jnp.sqrt(sq)
 
-
-class ColShardContext:
+class ColShardContext(_MeshContext):
     """Column-partitioned dense operator (the mpi4py structure).
 
     ``local_a`` is the device's ``(n, m)`` column block; every vector
     lives as its ``(m,)`` slice.  SpMV = local GEMM partial (MXU) +
-    ``psum_scatter`` combine; ``mv2`` fuses both right-hand sides into
-    one ``(m, 2)`` GEMM, the reference's ``np.dot(A, [r|s])`` trick
+    collective combine; ``mv2`` fuses both right-hand sides into one
+    ``(m, 2)`` GEMM, the reference's ``np.dot(A, [r|s])`` trick
     (``cg_variants/pipe_pr_cg.py:65``).
+
+    ``packed=True`` (default): the gv/pipe sync phase packs the GEMM
+    partials AND the scalar dot partials into ONE ``psum`` buffer —
+    exactly one collective latency per iteration, the reference's
+    ``(m*size + 2,)`` resp. ``(m*size + 2, 2)`` Allreduce buffers
+    (``cg_variants/gv_cg.py:29-38``, ``pipe_pr_cg.py:24-45``).
+    ``packed=False``: matvec combine via ``psum_scatter`` (half the
+    wire traffic) plus a separate scalar psum — 2 collectives/iter.
     """
 
-    def __init__(self, local_a, axis, precond=None, compensated=False):
+    def __init__(self, local_a, axis, precond=None, compensated=False,
+                 packed=True):
         self.local_a = local_a
         self.axis = axis
         self.precond = precond
         self.compensated = compensated
+        self.packed = packed
 
-    @property
-    def has_prec(self) -> bool:
-        return self.precond is not None
+    def _local_slice(self, full):
+        """This device's (m,)-slice of a combined length-n vector."""
+        m = self.local_a.shape[1]
+        i = lax.axis_index(self.axis)
+        return lax.dynamic_slice_in_dim(full, i * m, m)
 
-    def prec(self, v):
-        return self.precond.apply(v) if self.precond is not None else v
+    def _scalar_partials(self, pairs):
+        """Flat local partial buffer + unpacker for a dots batch."""
+        if self.compensated:
+            from ..ops.compensated import comp_dot_pair
 
-    def dots(self, *pairs):
-        return _psum_batch(pairs, self.axis, self.compensated)
+            vals, errs = zip(*(comp_dot_pair(a, b) for (a, b) in pairs))
+            buf = jnp.stack(list(vals) + list(errs))
+            k = len(pairs)
 
-    def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
-        from ..solvers.context import generic_pipe_vector_phase
+            def unpack(summed):
+                return tuple(summed[i] + summed[k + i] for i in range(k))
 
-        return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
+            return buf, unpack
+        buf = jnp.stack([jnp.vdot(a, b) for (a, b) in pairs])
+
+        def unpack(summed):
+            return tuple(summed[i] for i in range(len(pairs)))
+
+        return buf, unpack
+
+    def mv_dots(self, v, pairs):
+        """Packed: matvec partial + scalar partials in ONE psum."""
+        if not self.packed:
+            return super().mv_dots(v, pairs)
+        partial = self.local_a @ v  # (n,)
+        scal, unpack = self._scalar_partials(pairs)
+        out = lax.psum(jnp.concatenate([partial, scal]), self.axis)
+        return self._local_slice(out[: partial.shape[0]]), unpack(
+            out[partial.shape[0]:]
+        )
+
+    def mv2_dots(self, v, w, pairs):
+        if not self.packed:
+            return super().mv2_dots(v, w, pairs)
+        vw = jnp.stack([v, w], axis=1)  # (m, 2)
+        partial = self.local_a @ vw  # (n, 2)
+        n = partial.shape[0]
+        scal, unpack = self._scalar_partials(pairs)
+        out = lax.psum(
+            jnp.concatenate([partial.T.reshape(-1), scal]), self.axis
+        )
+        y = self._local_slice(out[:n])
+        z = self._local_slice(out[n: 2 * n])
+        return y, z, unpack(out[2 * n:])
+
+    def pipe_full_step(self, s_, a1, beta, recompute):
+        """Unpreconditioned pipe-P/PR step with the single packed psum.
+
+        The hook :func:`..solvers.families.make_pipe_step` checks first;
+        mirrors the mpi4py ``pipe_pr_cg`` hot loop (``pipe_pr_cg.py:58-83``):
+        vector recurrences, then ONE Allreduce carrying the fused 2-RHS
+        GEMM partials and the four scalars.
+        """
+        if not self.packed:
+            return None
+        x = s_["x"] + a1 * s_["p"]
+        r = s_["r"] - a1 * s_["s"]
+        w = s_["w"] - a1 * s_["u"]
+        p = r + beta * s_["p"]
+        s = w + beta * s_["s"]
+        pairs = ((p, s), (r, s), (s, s), (r, r))
+        if recompute:
+            u, w, d = self.mv2_dots(s, r, pairs)
+        else:
+            u, d = self.mv_dots(s, pairs)
+        return x, r, w, p, s, u, d
 
     def mv(self, v):
         partial = self.local_a @ v  # (n,) partial result
@@ -261,7 +348,3 @@ class ColShardContext:
         partial = self.local_a @ vw  # (n, 2)
         out = lax.psum_scatter(partial, self.axis, scatter_dimension=0, tiled=True)
         return out[:, 0], out[:, 1]
-
-    def norm(self, v):
-        (sq,) = self.dots((v, v))
-        return jnp.sqrt(sq)

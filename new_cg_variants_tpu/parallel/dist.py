@@ -128,7 +128,8 @@ def _check_partition(op, partition):
     return partition
 
 
-def _local_ctx_factory(op, partition, mesh, precond, compensated=False):
+def _local_ctx_factory(op, partition, mesh, precond, compensated=False,
+                       col_packed=True):
     """Returns (operands, in_specs, ctx_builder) for shard_map.
 
     The preconditioner rides along as a sharded operand: pointwise
@@ -161,7 +162,8 @@ def _local_ctx_factory(op, partition, mesh, precond, compensated=False):
         mat_operand, mat_spec = a, P(None, AXIS)
         def build_mat_ctx(local, prec_local):
             return ColShardContext(local, AXIS, prec_local,
-                                   compensated=compensated)
+                                   compensated=compensated,
+                                   packed=col_packed)
 
     if isinstance(precond, JacobiPreconditioner):
         prec_operand, prec_spec = precond.inv_diag, P(AXIS)
@@ -191,6 +193,7 @@ def dist_run(
     dtype=None,
     compensated=False,
     w_replace=None,
+    col_packed=True,
 ):
     """Distributed history run: the mesh analog of :func:`..solvers.api.run`.
 
@@ -214,7 +217,7 @@ def dist_run(
         aux_global["x_true"] = jnp.asarray(x_true, dtype=op.dtype)
 
     operands, op_specs, build_ctx = _local_ctx_factory(
-        op, partition, mesh, precond, compensated
+        op, partition, mesh, precond, compensated, col_packed
     )
 
     vec = P(AXIS)
@@ -258,6 +261,7 @@ def dist_solve(
     norm_type="natural",
     dtype=None,
     compensated=False,
+    col_packed=True,
 ):
     """Distributed tolerance solve: the mesh analog of :func:`..solvers.api.solve`."""
     if dtype is not None:
@@ -269,7 +273,7 @@ def dist_solve(
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
     init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
     operands, op_specs, build_ctx = _local_ctx_factory(
-        op, partition, mesh, precond, compensated
+        op, partition, mesh, precond, compensated, col_packed
     )
 
     @partial(

@@ -69,6 +69,22 @@ class Context:
         (sq,) = self.dots((v, v))
         return jnp.sqrt(sq)
 
+    def mv_dots(self, v, pairs):
+        """``(A v, dots(pairs))`` as one synchronization phase.
+
+        The dots are issued FIRST so that on distributed contexts the
+        scalar reduction overlaps the matvec (split-reduction order);
+        packed contexts override this to ride one collective.
+        """
+        d = self.dots(*pairs)
+        return self.mv(v), d
+
+    def mv2_dots(self, v, w, pairs):
+        """``(A v, A w, dots(pairs))`` as one synchronization phase."""
+        d = self.dots(*pairs)
+        y, z = self.mv2(v, w)
+        return y, z, d
+
     def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
         """Unpreconditioned pipe-P/PR vector phase + fused 4-dot batch.
 

@@ -175,9 +175,10 @@ def make_gv_step(w_replace=None):
             do_rep = w_replace(s_["k"] + 1, view)
             w = jax.lax.cond(do_rep, lambda _: ctx.mv(rt), lambda _: w, None)
         wt = ctx.prec(w) if ctx.has_prec else w
-        # dots issued before the matvec so the reduction overlaps t = A wt
-        nu, eta = ctx.dots((r, rt), (w, rt))  # the single fused sync
-        t = ctx.mv(wt)
+        # ONE sync phase: dots issued before the matvec so the reduction
+        # overlaps t = A wt (row partition), or everything rides a single
+        # packed collective (col partition, mpi4py gv_cg.py:29-38)
+        t, (nu, eta) = ctx.mv_dots(wt, ((r, rt), (w, rt)))
         beta = nu / s_["nu"]
         p = rt + beta * s_["p"]
         s = w + beta * s_["s"]
@@ -333,12 +334,14 @@ def make_pipe_step(meurant: bool, recompute: bool):
         st_ = wt + beta * s_["st"]
         # The single communication phase: local dot partials are formed
         # first so the fused reduction can overlap BOTH matvecs below
-        # (VecDotBegin/MDotBegin ... MatMult ... VecDotEnd in pipeprcg.c).
-        mu, delta, gamma, nu = ctx.dots((p, s), (r, st_), (st_, s), (rt, r))
+        # (VecDotBegin/MDotBegin ... MatMult ... VecDotEnd in pipeprcg.c);
+        # packed contexts carry matvec partials + scalars in one psum.
+        pairs = ((p, s), (r, st_), (st_, s), (rt, r))
         if recompute:
-            u, w = ctx.mv2(st_, rt)  # fused 2-RHS matvec: u = A st, w = A rt
+            # fused 2-RHS matvec: u = A st, w = A rt
+            u, w, (mu, delta, gamma, nu) = ctx.mv2_dots(st_, rt, pairs)
         else:
-            u = ctx.mv(st_)
+            u, (mu, delta, gamma, nu) = ctx.mv_dots(st_, pairs)
         if ctx.has_prec:
             ut = ctx.prec(u)
             if recompute:
