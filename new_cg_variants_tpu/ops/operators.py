@@ -94,6 +94,11 @@ class DenseOperator:
     def todense(self):
         return self.a
 
+    def tocsr(self):
+        import scipy.sparse as sp
+
+        return sp.csr_matrix(np.asarray(self.a, dtype=np.float64))
+
     def tree_flatten(self):
         return (self.a,), None
 
@@ -176,6 +181,26 @@ class DiaOperator:
             a[idx, idx + off] = data[d, idx]
         return jnp.asarray(a)
 
+    def tocsr(self):
+        """scipy CSR view (host, f64) — the sparse direct-solve path for
+        the error probes / oracle on large fixtures, where densifying
+        would need O(n^2) memory (cf. the reference's sparse solve,
+        ``callbacks/error_A_norm.py:36-39``)."""
+        import scipy.sparse as sp
+
+        n = self.n
+        data = np.asarray(self.data, dtype=np.float64)
+        rows, cols, vals = [], [], []
+        for d, off in enumerate(self.offsets):
+            i = np.arange(max(0, -off), min(n, n - off))
+            rows.append(i)
+            cols.append(i + off)
+            vals.append(data[d, i])
+        return sp.csr_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(n, n),
+        )
+
     def tree_flatten(self):
         return (self.data,), self.offsets
 
@@ -245,6 +270,17 @@ class EllOperator:
         for l in range(L):
             np.add.at(a, (np.arange(n), idx[:, l]), val[:, l])
         return jnp.asarray(a)
+
+    def tocsr(self):
+        import scipy.sparse as sp
+
+        n, L = self.val.shape
+        val = np.asarray(self.val, dtype=np.float64).ravel()
+        col = np.asarray(self.idx).ravel()
+        row = np.repeat(np.arange(n), L)
+        # padding slots carry value 0 (index i): summed duplicates are a
+        # no-op, and csr drops nothing — structure stays exact
+        return sp.csr_matrix((val, (row, col)), shape=(n, n))
 
     def tree_flatten(self):
         return (self.val, self.idx), self.nnz_stored

@@ -115,6 +115,19 @@ class BandedStencilOperator:
         a[np.arange(n), np.arange(n)] = np.asarray(self.diag)
         return jnp.asarray(a)
 
+    def tocsr(self):
+        import scipy.sparse as sp
+
+        n, k = self.n, self.k
+        off = float(self.off_value)
+        diags = [np.asarray(self.diag, dtype=np.float64)]
+        offsets = [0]
+        for o in range(1, k):
+            band = np.full(n - o, off)
+            diags += [band, band]
+            offsets += [o, -o]
+        return sp.diags(diags, offsets, shape=(n, n), format="csr")
+
     def tree_flatten(self):
         return (self.diag, self.off_value), self.k
 

@@ -50,12 +50,22 @@ def updated_error_A_norm(A, output):
 
     cf. ``callbacks/updated_error_A_norm.py:42-48``: this is the error
     norm the algorithm itself "believes", ``sqrt(r' A^{-1} r)``, as
-    opposed to the A-norm of the true error.
+    opposed to the A-norm of the true error.  ONE factorization is
+    amortized over all iterations (the reference does a sparse solve per
+    iteration): dense Cholesky for small operators, sparse LU above
+    ~4k rows where densifying is prohibitive.
     """
     r_hist = np.asarray(output["save_r"], dtype=np.float64)  # (T, n)
-    a = _as_dense64(A)
-    cho = scipy.linalg.cho_factor(a)
-    err = scipy.linalg.cho_solve(cho, r_hist.T)  # (n, T)
+    n = r_hist.shape[1]
+    if n >= 4096 and hasattr(A, "tocsr"):
+        import scipy.sparse.linalg as spla
+
+        lu = spla.splu(A.tocsr().tocsc())
+        err = lu.solve(r_hist.T)  # (n, T)
+    else:
+        a = _as_dense64(A)
+        cho = scipy.linalg.cho_factor(a)
+        err = scipy.linalg.cho_solve(cho, r_hist.T)  # (n, T)
     vals = np.sqrt(np.maximum(np.einsum("nt,tn->t", err, r_hist), 0.0))
     output["updated_error_A_norm"] = vals
     return vals

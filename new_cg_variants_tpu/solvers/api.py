@@ -60,15 +60,26 @@ def _needs_x_true(probe_fns):
     return any(name.startswith("error") for name in probe_fns)
 
 
+#: above this dimension the direct solve goes through scipy sparse LU —
+#: densifying a 90k-row fixture (s3dkq4m2) would need ~65 GB
+_SPARSE_SOLVE_MIN_N = 4096
+
+
 def _compute_x_true(op, b):
     """Host-side direct solve for the error probes.
 
-    The reference callbacks lazily compute ``x_true`` with a sparse direct
-    solve when not supplied (``callbacks/error_A_norm.py:36-39``); we do
-    the same off the hot path.
+    The reference callbacks lazily compute ``x_true`` with a SPARSE
+    direct solve when not supplied (``callbacks/error_A_norm.py:36-39``,
+    ``sp.sparse.linalg.spsolve``); large operators take the same sparse
+    path here, small ones a dense LAPACK solve.
     """
+    b64 = np.asarray(b, dtype=np.float64)
+    if op.n >= _SPARSE_SOLVE_MIN_N and hasattr(op, "tocsr"):
+        import scipy.sparse.linalg as spla
+
+        return spla.spsolve(op.tocsr().tocsc(), b64)
     a = np.asarray(op.todense(), dtype=np.float64)
-    return np.linalg.solve(a, np.asarray(b, dtype=np.float64))
+    return np.linalg.solve(a, b64)
 
 
 def run(

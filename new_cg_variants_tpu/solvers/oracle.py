@@ -10,6 +10,13 @@ This deliberately runs in NumPy on host, off-TPU: TPUs have no f80/f64
 long-double path, and the reference itself runs its oracle in longdouble
 on CPU (``figure_gen.py:53-55``).  The O(k n) reorthogonalization sweep is
 a GEMV against the stored residual basis, so it is still vectorized.
+
+Large operators stay SPARSE end-to-end: the matvec runs on a longdouble
+scipy CSR and ``x_true`` comes from a sparse LU — the reference's own
+structure (``exact_cg.py`` iterates on the CSR it is given;
+``callbacks/error_A_norm.py:36-39`` spsolve) — so the big third of the
+experiment matrix (bcsstk17/18, s*rm*, n up to ~90k) runs without the
+O(n^2) densification.
 """
 
 from __future__ import annotations
@@ -19,13 +26,52 @@ import numpy as np
 __all__ = ["exact_cg", "exact_pcg"]
 
 
-def _as_dense(A):
-    """Accept operators, CooMatrix, scipy sparse, or arrays."""
+#: above this dimension the oracle keeps A sparse (CSR longdouble)
+_SPARSE_MIN_N = 4096
+
+#: probe names the oracle records; anything else raises (no silent
+#: zero-filled histories)
+KNOWN_PROBES = (
+    "updated_residual_2_norm", "residual_2_norm", "error_A_norm",
+    "error_2_norm", "alpha", "beta", "nu", "save_x", "save_r",
+)
+
+
+def _as_matrix(A, dtype):
+    """Operator/CooMatrix/scipy/array -> dense ndarray or scipy CSR.
+
+    Sparse-representable operators above ``_SPARSE_MIN_N`` rows come back
+    as CSR in the requested (long double) dtype; ``A @ x`` and
+    ``A.diagonal()`` work identically on both returns.
+    """
+    import scipy.sparse as sp
+
+    if sp.issparse(A):
+        csr = A.tocsr()
+        if csr.shape[0] >= _SPARSE_MIN_N:
+            return csr.astype(dtype)
+        return np.asarray(csr.toarray(), dtype=dtype)
+    if hasattr(A, "tocsr"):
+        n = A.n if hasattr(A, "n") else A.shape[0]
+        if n >= _SPARSE_MIN_N:
+            return A.tocsr().astype(dtype)
     if hasattr(A, "todense"):
-        return np.asarray(A.todense())
+        return np.asarray(A.todense(), dtype=dtype)
     if hasattr(A, "toarray"):
-        return np.asarray(A.toarray())
-    return np.asarray(A)
+        return np.asarray(A.toarray(), dtype=dtype)
+    return np.asarray(A, dtype=dtype)
+
+
+def _solve_x_true(A, b):
+    """f64 direct solve, sparse when A is sparse."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    if sp.issparse(A):
+        return spla.spsolve(A.astype(np.float64).tocsc(),
+                            np.asarray(b, dtype=np.float64))
+    return np.linalg.solve(A.astype(np.float64),
+                           np.asarray(b, dtype=np.float64))
 
 
 def exact_cg(A, b, x0=None, max_iter=100, probes=None, dtype=np.longdouble, **kwargs):
@@ -53,14 +99,14 @@ def exact_pcg(
     Returns an output dict shaped like :func:`..solvers.api.run` results:
     probe histories are truncated at the early-exit iteration.
     """
-    A = _as_dense(A).astype(dtype)
+    A = _as_matrix(A, dtype)
     b = np.asarray(b, dtype=dtype)
     n = b.shape[0]
     x = np.zeros_like(b) if x0 is None else np.asarray(x0, dtype=dtype)
     if preconditioner is None:
         prec = lambda v: v
     elif isinstance(preconditioner, str) and preconditioner == "jacobi":
-        d = 1.0 / np.diagonal(A)
+        d = 1.0 / np.asarray(A.diagonal())
         prec = lambda v: d * v
     elif hasattr(preconditioner, "apply"):
         prec = lambda v: np.asarray(preconditioner.apply(v), dtype=dtype)
@@ -68,13 +114,23 @@ def exact_pcg(
         prec = preconditioner
 
     probes = probes or ("updated_residual_2_norm",)
+    unknown = set(probes) - set(KNOWN_PROBES)
+    if unknown:
+        raise ValueError(
+            f"unknown oracle probes {sorted(unknown)}; known: {KNOWN_PROBES}"
+        )
     want = set(probes)
     if x_true is None and any(p.startswith("error") for p in want):
-        x_true = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+        x_true = _solve_x_true(A, b)
     if x_true is not None:
         x_true = np.asarray(x_true, dtype=dtype)
 
-    hist = {p: np.zeros(max_iter, dtype=np.float64) for p in want}
+    hist = {
+        p: (np.zeros((max_iter, n), dtype=np.float64)
+            if p in ("save_x", "save_r")
+            else np.zeros(max_iter, dtype=np.float64))
+        for p in want
+    }
 
     kmax = min(n, max_iter)
     R = np.zeros((kmax, n), dtype=dtype)
@@ -106,9 +162,16 @@ def exact_pcg(
                 hist[name][k] = float(np.sqrt((x - x_true) @ (x - x_true)))
             elif name == "alpha":
                 hist[name][k] = float(a)
+            elif name == "beta":
+                hist[name][k] = float(beta) if k else 0.0
             elif name == "nu":
                 hist[name][k] = float(nu)
+            elif name == "save_x":
+                hist[name][k] = np.asarray(x, dtype=np.float64)
+            elif name == "save_r":
+                hist[name][k] = np.asarray(r, dtype=np.float64)
 
+    beta = 0.0
     record(0)
     last = 0
     for k in range(1, max_iter):
