@@ -143,8 +143,12 @@ class RowShardContext(_MeshContext):
         return jnp.concatenate([left, v, right], axis=0)
 
     def _use_pallas(self) -> bool:
+        import os
+
         from ..ops.spmv_pallas import supports
 
+        if os.environ.get("NCGV_DISABLE_PALLAS"):
+            return False
         return jax.default_backend() == "tpu" and supports(self.offsets)
 
     def _dia_mv(self, vext, ncols=None):
@@ -173,9 +177,15 @@ class RowShardContext(_MeshContext):
         """Local vector phase + ONE psum — the single sync is preserved:
         the fused kernel's local partials ride the same packed psum the
         generic path's dots() would."""
+        import os
+
         import jax
 
-        if jax.default_backend() == "tpu" and not self.compensated:
+        if (
+            not os.environ.get("NCGV_DISABLE_PALLAS")
+            and jax.default_backend() == "tpu"
+            and not self.compensated
+        ):
             from ..ops.fused_step import fused_pipe_vector_phase
 
             x2, r2, w2, p2, s2, part = fused_pipe_vector_phase(

@@ -193,6 +193,7 @@ def dist_run(
     dtype=None,
     compensated=False,
     w_replace=None,
+    w_replace_init=None,
     col_packed=True,
 ):
     """Distributed history run: the mesh analog of :func:`..solvers.api.run`.
@@ -207,7 +208,8 @@ def dist_run(
     partition = _check_partition(op, partition)
     b = jnp.asarray(b, dtype=op.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
-    init_fn, step_fn, precond = _resolve(variant, op, preconditioner, w_replace)
+    init_fn, step_fn, precond = _resolve(variant, op, preconditioner,
+                                     w_replace, w_replace_init)
     probe_fns = resolve_probes(probes)
 
     aux_global = {"b": b}

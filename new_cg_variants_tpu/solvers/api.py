@@ -41,11 +41,21 @@ VARIANT_NAMES = tuple(
 )
 
 
-def _resolve(variant, op, preconditioner, w_replace=None):
+def _resolve(variant, op, preconditioner, w_replace=None, w_replace_init=None):
     key, prec_flag = family_of(variant)
     init_fn, step_fn = FAMILIES[key]
     if key == "gv" and w_replace is not None:
-        step_fn = make_gv_step(w_replace)
+        stateful = w_replace_init is not None
+        step_fn = make_gv_step(w_replace, stateful=stateful)
+        if stateful:
+            # thread the hook's own state (the reference's mutable
+            # wk_replace_flags dict, gv_cg.py:40) as a carry leaf
+            base_init = init_fn
+
+            def init_fn(ctx, b, x0, _base=base_init):
+                st = _base(ctx, b, x0)
+                st["wrep"] = jax.tree.map(jnp.asarray, w_replace_init)
+                return st
     precond = make_preconditioner(
         preconditioner if prec_flag else None, op
     )
@@ -92,6 +102,7 @@ def run(
     probes=("updated_residual_2_norm",),
     x_true=None,
     w_replace=None,
+    w_replace_init=None,
     dtype=None,
     use_jit=True,
     compensated=False,
@@ -103,11 +114,17 @@ def run(
     (or ``(max_iter, n)`` for vector probes) array per probe — the same
     output-dict shape the reference solvers return
     (``cg_variants/hs_cg.py:18-20``).
+
+    ``w_replace_init`` switches the gv residual-replacement hook to the
+    stateful protocol: ``w_replace(k, view, rep_state) -> (bool,
+    new_rep_state)`` with ``rep_state`` initialized to this pytree.
     """
     op = as_operator(A, dtype=dtype)
     b = jnp.asarray(b, dtype=op.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
-    init_fn, step_fn, precond = _resolve(variant, op, preconditioner, w_replace)
+    init_fn, step_fn, precond = _resolve(
+        variant, op, preconditioner, w_replace, w_replace_init
+    )
     probe_fns = resolve_probes(probes)
 
     aux = {"b": b}

@@ -59,28 +59,51 @@ def history_scan(ctx, init_fn, step_fn, probe_fns, b, x0, length, aux,
 def tolerance_loop(ctx, init_fn, step_fn, b, x0, max_iter, rtol, atol, norm_type):
     """Iterate until the chosen norm falls below tol or max_iter hits.
 
+    Norm plumbing keeps the families' one-sync-per-iteration invariant:
+    for unpreconditioned runs all three norm types coincide with
+    ``sqrt(nu)`` (there ``nu = r.r``), and for preconditioned runs the
+    needed extra inner product rides the family's existing fused
+    reduction batch via ``ctx.extra_norm`` (state key ``rho``) — PETSc
+    likewise derives its norms from the same reduction
+    (``cg_impls/pipeprcg.c:112-136``).  No per-iteration extra
+    collective in any configuration.
+
     Returns ``(state, iterations, norm, tol)``.
     """
-
-    def iter_norm(s):
-        if norm_type == "natural":
-            return jnp.sqrt(jnp.abs(s["nu"]))
-        if norm_type == "unpreconditioned":
-            (rr,) = ctx.dots((s["r"], s["r"]))
-            return jnp.sqrt(rr)
-        if norm_type == "preconditioned":
-            # ||M^{-1} r||_2 (PETSc KSP_NORM_PRECONDITIONED); rt is carried
-            # only by preconditioned runs, identical to r otherwise
-            rt = s.get("rt", s["r"])
-            (rr,) = ctx.dots((rt, rt))
-            return jnp.sqrt(rr)
-        if norm_type == "none":
-            return jnp.zeros((), dtype=s["nu"].dtype)
+    if norm_type not in ("natural", "unpreconditioned", "preconditioned", "none"):
         raise ValueError(f"unknown norm_type {norm_type!r}")
 
+    in_batch = (
+        norm_type in ("unpreconditioned", "preconditioned") and ctx.has_prec
+    )
+    if in_batch:
+        ctx.extra_norm = "r" if norm_type == "unpreconditioned" else "rt"
+
+    def iter_norm(s):
+        if norm_type == "none":
+            return jnp.zeros((), dtype=s["nu"].dtype)
+        if in_batch:
+            return jnp.sqrt(jnp.abs(s["rho"]))
+        return jnp.sqrt(jnp.abs(s["nu"]))
+
     state = init_fn(ctx, b, x0)
-    (bb,) = ctx.dots((b, b))
-    tol = jnp.maximum(rtol * jnp.sqrt(bb), atol).astype(b.dtype)
+    if in_batch:
+        # initial rho: one extra dot OUTSIDE the loop (init only), so the
+        # state structure matches what the step functions produce
+        v = state["rt"] if ctx.extra_norm == "rt" and "rt" in state else state["r"]
+        (rho0,) = ctx.dots((v, v))
+        state["rho"] = rho0
+    # the tolerance is measured in the SAME norm flavor as the iteration
+    # norm (PETSc KSPConvergedDefault semantics): natural -> sqrt(b'M^-1 b),
+    # preconditioned -> ||M^-1 b||, unpreconditioned -> ||b||
+    if norm_type == "natural":
+        (bb,) = ctx.dots((b, ctx.prec(b)))
+    elif norm_type == "preconditioned":
+        bt = ctx.prec(b)
+        (bb,) = ctx.dots((bt, bt))
+    else:
+        (bb,) = ctx.dots((b, b))
+    tol = jnp.maximum(rtol * jnp.sqrt(jnp.abs(bb)), atol).astype(b.dtype)
 
     def cond(carry):
         s, k, nrm = carry

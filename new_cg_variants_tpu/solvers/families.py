@@ -54,6 +54,24 @@ def _rotate(s, new):
     return new
 
 
+def _norm_pair(ctx, r, rt):
+    """Optional extra pair for the sync batch: the convergence norm.
+
+    ``ctx.extra_norm`` is set by :func:`~.engine.tolerance_loop` for
+    preconditioned solves with ``norm_type='unpreconditioned'`` (needs
+    ``r.r``) or ``'preconditioned'`` (needs ``rt.rt``) — the extra scalar
+    rides the family's EXISTING fused reduction, so norm-checked solves
+    keep one sync per iteration like PETSc, which derives its norms from
+    the same reduction batch (``cg_impls/pipeprcg.c:112-136``).
+    Unpreconditioned runs never need it: there ``nu = r.r`` already.
+    """
+    en = getattr(ctx, "extra_norm", None)
+    if en is None:
+        return ()
+    v = r if en == "r" else rt
+    return ((v, v),)
+
+
 # ---------------------------------------------------------------------------
 # Hestenes–Stiefel (classic) CG — cf. numerical_experiments/cg_variants/hs_cg.py
 # ---------------------------------------------------------------------------
@@ -78,12 +96,16 @@ def hs_step(ctx, s_):
     x = s_["x"] + a1 * s_["p"]
     r = s_["r"] - a1 * s_["s"]
     rt = ctx.prec(r)
-    (nu,) = ctx.dots((r, rt))  # sync 1
+    extra = _norm_pair(ctx, r, rt)
+    out = ctx.dots((r, rt), *extra)  # sync 1
+    nu = out[0]
     beta = nu / s_["nu"]
     p = rt + beta * s_["p"]
     s = ctx.mv(p)
     (mu,) = ctx.dots((p, s))  # sync 2
     new = dict(x=x, r=r, p=p, s=s, nu=nu, mu=mu, a=nu / mu, b=beta)
+    if extra:
+        new["rho"] = out[-1]
     if ctx.has_prec:
         new["rt"] = rt
     return _rotate(s_, new)
@@ -115,12 +137,16 @@ def cgcg_step(ctx, s_):
     r = s_["r"] - a1 * s_["s"]
     rt = ctx.prec(r)
     w = ctx.mv(rt)
-    nu, eta = ctx.dots((r, rt), (w, rt))  # the single fused sync
+    extra = _norm_pair(ctx, r, rt)
+    out = ctx.dots((r, rt), (w, rt), *extra)  # the single fused sync
+    nu, eta = out[0], out[1]
     beta = nu / s_["nu"]
     p = rt + beta * s_["p"]
     s = w + beta * s_["s"]
     mu = eta - (beta / a1) * nu  # scalar recurrence replaces the mu dot
     new = dict(x=x, r=r, w=w, p=p, s=s, nu=nu, eta=eta, mu=mu, a=nu / mu, b=beta)
+    if extra:
+        new["rho"] = out[-1]
     if ctx.has_prec:
         new["rt"] = rt
     return _rotate(s_, new)
@@ -151,7 +177,7 @@ def gv_init(ctx, b, x0):
     return state
 
 
-def make_gv_step(w_replace=None):
+def make_gv_step(w_replace=None, stateful=False):
     """GV step factory with optional residual-replacement hook.
 
     ``w_replace(k, state_view) -> bool`` (traceable) forces
@@ -159,6 +185,13 @@ def make_gv_step(w_replace=None):
     ``w_replace``/``wk_replace_flags`` mechanism (``gv_cg.py:69-72``).
     (The reference's preconditioned twin replaces with ``A r``; we use the
     mathematically consistent ``A rt``, identical when M = I.)
+
+    With ``stateful=True`` the hook threads its own state across
+    iterations — ``w_replace(k, state_view, rep_state) -> (bool,
+    new_rep_state)`` — carried as the ``wrep`` pytree leaf of the solver
+    state (the reference's mutable ``wk_replace_flags`` dict,
+    ``gv_cg.py:40,69-72``), so adaptive policies that depend on their own
+    replacement history are expressible inside the compiled loop.
     """
 
     def gv_step(ctx, s_):
@@ -170,15 +203,21 @@ def make_gv_step(w_replace=None):
         else:
             rt = r
         w = s_["w"] - a1 * s_["u"]
+        new_wrep = None
         if w_replace is not None:
             view = dict(k=s_["k"] + 1, x=x, r=r, w=w, u=s_["u"], s=s_["s"], p=s_["p"])
-            do_rep = w_replace(s_["k"] + 1, view)
+            if stateful:
+                do_rep, new_wrep = w_replace(s_["k"] + 1, view, s_["wrep"])
+            else:
+                do_rep = w_replace(s_["k"] + 1, view)
             w = jax.lax.cond(do_rep, lambda _: ctx.mv(rt), lambda _: w, None)
         wt = ctx.prec(w) if ctx.has_prec else w
         # ONE sync phase: dots issued before the matvec so the reduction
         # overlaps t = A wt (row partition), or everything rides a single
         # packed collective (col partition, mpi4py gv_cg.py:29-38)
-        t, (nu, eta) = ctx.mv_dots(wt, ((r, rt), (w, rt)))
+        extra = _norm_pair(ctx, r, rt)
+        t, out = ctx.mv_dots(wt, ((r, rt), (w, rt)) + extra)
+        nu, eta = out[0], out[1]
         beta = nu / s_["nu"]
         p = rt + beta * s_["p"]
         s = w + beta * s_["s"]
@@ -187,6 +226,10 @@ def make_gv_step(w_replace=None):
         new = dict(
             x=x, r=r, w=w, p=p, s=s, u=u, nu=nu, eta=eta, mu=mu, a=nu / mu, b=beta
         )
+        if new_wrep is not None:
+            new["wrep"] = new_wrep
+        if extra:
+            new["rho"] = out[-1]
         if ctx.has_prec:
             new["rt"] = rt
             new["wt"] = wt
@@ -250,11 +293,15 @@ def make_pr_step(meurant: bool):
         st_ = ctx.prec(s) if ctx.has_prec else s
         # one fused 4-dot sync; nu is RECOMPUTED here (used for alpha),
         # while beta above used the predicted value
-        mu, delta, gamma, nu = ctx.dots((p, s), (r, st_), (st_, s), (rt, r))
+        extra = _norm_pair(ctx, r, rt)
+        out = ctx.dots((p, s), (r, st_), (st_, s), (rt, r), *extra)
+        mu, delta, gamma, nu = out[:4]
         new = dict(
             x=x, r=r, p=p, s=s, nu=nu, mu=mu, delta=delta, gamma=gamma,
             a=nu / mu, b=beta,
         )
+        if extra:
+            new["rho"] = out[-1]
         if ctx.has_prec:
             new["rt"] = rt
             new["st"] = st_
@@ -336,12 +383,14 @@ def make_pipe_step(meurant: bool, recompute: bool):
         # first so the fused reduction can overlap BOTH matvecs below
         # (VecDotBegin/MDotBegin ... MatMult ... VecDotEnd in pipeprcg.c);
         # packed contexts carry matvec partials + scalars in one psum.
-        pairs = ((p, s), (r, st_), (st_, s), (rt, r))
+        extra = _norm_pair(ctx, r, rt)
+        pairs = ((p, s), (r, st_), (st_, s), (rt, r)) + extra
         if recompute:
             # fused 2-RHS matvec: u = A st, w = A rt
-            u, w, (mu, delta, gamma, nu) = ctx.mv2_dots(st_, rt, pairs)
+            u, w, out = ctx.mv2_dots(st_, rt, pairs)
         else:
-            u, (mu, delta, gamma, nu) = ctx.mv_dots(st_, pairs)
+            u, out = ctx.mv_dots(st_, pairs)
+        mu, delta, gamma, nu = out[:4]
         if ctx.has_prec:
             ut = ctx.prec(u)
             if recompute:
@@ -350,6 +399,8 @@ def make_pipe_step(meurant: bool, recompute: bool):
             x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
             gamma=gamma, a=nu / mu, b=beta,
         )
+        if extra:
+            new["rho"] = out[-1]
         if ctx.has_prec:
             new.update(rt=rt, st=st_, wt=wt, ut=ut)
         return _rotate(s_, new)

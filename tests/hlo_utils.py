@@ -76,12 +76,17 @@ def count_ops(hlo_text, opname):
     return len(re.findall(rf"= \S* {opname}", hlo_text))
 
 
-def compiled_step_hlo(family, partition, *, n=1024, k=4, pdev=4, ctx_kwargs=None):
+def compiled_step_hlo(family, partition, *, n=1024, k=4, pdev=4, ctx_kwargs=None,
+                      identity_prec=False, extra_norm=None):
     """Compile exactly ONE solver step under shard_map on the CPU mesh.
 
     The state is passed in abstractly (init is not part of the program),
     so collective counts/structure in the returned optimized HLO text are
     exactly the per-iteration communication structure.
+
+    ``identity_prec`` runs the preconditioned code path (M = I);
+    ``extra_norm`` sets ``ctx.extra_norm`` so the convergence norm rides
+    the sync batch, as :func:`~.engine.tolerance_loop` does.
     """
     from new_cg_variants_tpu.matio.problems import banded_model
     from new_cg_variants_tpu.parallel.contexts import (
@@ -91,9 +96,12 @@ def compiled_step_hlo(family, partition, *, n=1024, k=4, pdev=4, ctx_kwargs=None
     from new_cg_variants_tpu.parallel.dist import AXIS, make_mesh
     from new_cg_variants_tpu.solvers.context import Context
     from new_cg_variants_tpu.solvers.families import FAMILIES
+    from new_cg_variants_tpu.solvers.precond import IdentityPreconditioner
     from new_cg_variants_tpu.ops.operators import DenseOperator
 
-    ctx_kwargs = ctx_kwargs or {}
+    ctx_kwargs = dict(ctx_kwargs or {})
+    if identity_prec:
+        ctx_kwargs["precond"] = IdentityPreconditioner()
     op, b, _ = banded_model(n, k=k, kappa=100.0)
     mesh = make_mesh(pdev)
     init_fn, step_fn = FAMILIES[family]
@@ -104,18 +112,28 @@ def compiled_step_hlo(family, partition, *, n=1024, k=4, pdev=4, ctx_kwargs=None
         sd_op = op
 
         def build(local):
-            return RowShardContext(op.offsets, local, AXIS, **ctx_kwargs)
+            ctx = RowShardContext(op.offsets, local, AXIS, **ctx_kwargs)
+            ctx.extra_norm = extra_norm
+            return ctx
     else:
         mat_operand, mat_spec = op.todense(), P(None, AXIS)
         sd_op = DenseOperator(mat_operand)
 
         def build(local):
-            return ColShardContext(local, AXIS, **ctx_kwargs)
+            ctx = ColShardContext(local, AXIS, **ctx_kwargs)
+            ctx.extra_norm = extra_norm
+            return ctx
 
-    abstract = jax.eval_shape(
-        lambda b_: init_fn(Context(sd_op, None), b_, jnp.zeros_like(b_)),
-        jnp.asarray(b),
-    )
+    sd_ctx = Context(sd_op, ctx_kwargs.get("precond"))
+    sd_ctx.extra_norm = extra_norm
+
+    def abstract_state_fn(b_):
+        st = init_fn(sd_ctx, b_, jnp.zeros_like(b_))
+        if extra_norm is not None:
+            st["rho"] = st["nu"]
+        return st
+
+    abstract = jax.eval_shape(abstract_state_fn, jnp.asarray(b))
     specs = jax.tree.map(
         lambda s: vec if getattr(s, "ndim", 0) >= 1 else P(), abstract
     )

@@ -96,6 +96,20 @@ def test_col_partition_unpacked_structure(family):
     assert _total_collectives(hlo) == 2
 
 
+@pytest.mark.parametrize("family", ["hs", "gv", "pr", "pipe_pr"])
+@pytest.mark.parametrize("extra_norm", ["r", "rt"])
+def test_norm_in_batch_keeps_sync_count(family, extra_norm):
+    """A preconditioned solve with an unprec/prec convergence norm keeps
+    the family's all-reduce count: the norm's inner product rides the
+    existing sync batch (weak-4 in VERDICT r1; PETSc derives norms from
+    the same reduction, ``pipeprcg.c:112-136``)."""
+    hlo = compiled_step_hlo(
+        family, "row", n=N, k=K, pdev=PDEV,
+        identity_prec=True, extra_norm=extra_norm,
+    )
+    assert count_ops(hlo, "all-reduce") == EXPECTED_SYNCS[family]
+
+
 def test_pipe_pr_single_halo_exchange_per_step():
     """pipe-PR's two matvecs share ONE halo exchange (fused 2-RHS)."""
     hlo = compiled_step_hlo("pipe_pr", "row", n=N, k=K, pdev=PDEV)

@@ -161,3 +161,75 @@ def test_gv_w_replace_hook(spd64):
     out = cgt.run("gv_cg", a, b, max_iter=80, w_replace=calls,
                   probes=("updated_residual_2_norm",), dtype=jnp.float64)
     assert out["updated_residual_2_norm"][-1] < 1e-6 * out["updated_residual_2_norm"][0]
+
+
+def test_gv_w_replace_stateful_adaptive_policy(spd64):
+    """Stateful hook protocol: the policy depends on its own replacement
+    history (the reference's cross-iteration wk_replace_flags dict,
+    gv_cg.py:40,69-72) — here a doubling-interval schedule: replace at
+    k = 5, 15, 35, 75, ... (interval 10, 20, 40 after each firing)."""
+    import jax.numpy as jnp_
+
+    a = spd64
+    b = a @ np.ones(a.shape[0])
+
+    def policy(k, view, st):
+        do = k >= st["next_k"]
+        new_st = dict(
+            next_k=jnp_.where(do, st["next_k"] + st["interval"], st["next_k"]),
+            interval=jnp_.where(do, 2 * st["interval"], st["interval"]),
+            count=st["count"] + do.astype(jnp_.int32),
+        )
+        return do, new_st
+
+    init = dict(next_k=np.int32(5), interval=np.int32(10), count=np.int32(0))
+    out = cgt.run("gv_cg", a, b, max_iter=80, w_replace=policy,
+                  w_replace_init=init, probes=("updated_residual_2_norm",),
+                  dtype=jnp.float64)
+    assert out["updated_residual_2_norm"][-1] < 1e-4 * out["updated_residual_2_norm"][0]
+
+    # drive the step functions directly to observe the carried state:
+    # firings at k = 5, 15, 35 within 40 iterations -> count == 3
+    from new_cg_variants_tpu.ops.operators import DenseOperator
+    from new_cg_variants_tpu.solvers.api import _resolve
+    from new_cg_variants_tpu.solvers.context import Context
+
+    op = DenseOperator(jnp.asarray(a, dtype=jnp.float64))
+    init_fn, step_fn, _ = _resolve("gv_cg", op, None, policy, init)
+    ctx = Context(op, None)
+    st = init_fn(ctx, jnp.asarray(b, dtype=jnp.float64),
+                 jnp.zeros(a.shape[0], dtype=jnp.float64))
+    for _ in range(40):
+        st = step_fn(ctx, st)
+    assert int(st["wrep"]["count"]) == 3
+    assert int(st["wrep"]["next_k"]) == 75
+    assert int(st["wrep"]["interval"]) == 80
+
+
+@pytest.mark.parametrize("variant", ["hs_pcg", "pipe_pr_pcg"])
+@pytest.mark.parametrize(
+    "norm_type", ["natural", "unpreconditioned", "preconditioned"]
+)
+def test_solve_norm_semantics(variant, norm_type):
+    """The reported solve norm equals the explicitly computed norm of the
+    final recurrence residual in the requested flavor, with the norm's
+    inner product riding the family's sync batch (no extra collective —
+    pinned structurally in test_comm_structure)."""
+    coo = cgt.load_matrix("bcsstk03")
+    a = coo.toarray()
+    n = a.shape[0]
+    b = a @ (np.ones(n) / np.sqrt(n))
+    d = np.diag(a)
+    res = cgt.solve(a, b, variant=variant, rtol=1e-6, max_iter=3000,
+                    preconditioner="jacobi", norm_type=norm_type,
+                    dtype=jnp.float64)
+    assert res.converged
+    assert 50 < res.iterations < 3000  # really iterated, really exited
+    r = b - a @ np.asarray(res.x)
+    expect = {
+        "natural": np.sqrt(abs(r @ (r / d))),
+        "unpreconditioned": np.linalg.norm(r),
+        "preconditioned": np.linalg.norm(r / d),
+    }[norm_type]
+    # recurrence vs true residual drift is tiny at these tolerances
+    assert abs(res.norm - expect) / expect < 1e-2
