@@ -25,6 +25,13 @@ def entry_instructions(hlo_text):
     (``calls=``/``to_apply=``) are harmless because those names are not
     entry-level instructions.
     """
+    # the result type is either a plain token (f32[8192]{0:T(1024)}) or a
+    # tuple "(t1, t2, ...)" whose element layouts may nest one paren level
+    # (T(8,128), S(1)) — match both before the opcode
+    type_re = r"(?:\((?:[^()]+|\([^()]*\))*\)|\S+)"
+    inst_re = re.compile(
+        rf"\s+(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+{type_re}\s+([\w\-]+)\((.*)"
+    )
     out = []
     in_entry = False
     for ln in hlo_text.splitlines():
@@ -34,7 +41,7 @@ def entry_instructions(hlo_text):
         if in_entry:
             if ln.strip() == "}":
                 break
-            m = re.match(r"\s+(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+\S+\s+([\w\-]+)\((.*)", ln)
+            m = inst_re.match(ln)
             if not m:
                 continue
             name, op, rest = m.groups()
