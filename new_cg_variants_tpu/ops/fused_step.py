@@ -28,8 +28,10 @@ import jax.numpy as jnp
 
 __all__ = [
     "fused_pipe_vector_phase",
+    "fused_pipe_vector_phase_prec",
     "supports_fused",
     "fused_pipe_full_step",
+    "fused_pipe_full_step_prec",
     "supports_full_step",
 ]
 
@@ -126,6 +128,105 @@ def fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta, *,
     if pad:
         x2, r2, w2, p2, s2 = (v[:n] for v in (x2, r2, w2, p2, s2))
     return x2, r2, w2, p2, s2, (dots[0], dots[1], dots[2], dots[3])
+
+
+def _prec_kernel(tile, x_ref, r_ref, w_ref, u_ref, p_ref, s_ref, rt_ref,
+                 st_ref, wt_ref, ut_ref, ab_ref,
+                 x_o, r_o, w_o, rt_o, wt_o, p_o, s_o, st_o, dots_o):
+    """Preconditioned pipe vector phase: 8 updates + 4 local dot partials.
+
+    The tilde (preconditioned) vectors are carried explicitly so the
+    update ORDER is identical to the generic formulation in
+    ``families.make_pipe_step`` (finite-precision parity) — the PCApply
+    itself stays outside (it applies to the matvec OUTPUTS u, w).
+    """
+    import jax.experimental.pallas as pl
+
+    a1 = ab_ref[0]
+    beta = ab_ref[1]
+    x = x_ref[:] + a1 * p_ref[:]
+    r = r_ref[:] - a1 * s_ref[:]
+    w = w_ref[:] - a1 * u_ref[:]
+    rt = rt_ref[:] - a1 * st_ref[:]
+    wt = wt_ref[:] - a1 * ut_ref[:]
+    p = rt + beta * p_ref[:]
+    s = w + beta * s_ref[:]
+    st = wt + beta * st_ref[:]
+    x_o[:] = x
+    r_o[:] = r
+    w_o[:] = w
+    rt_o[:] = rt
+    wt_o[:] = wt
+    p_o[:] = p
+    s_o[:] = s
+    st_o[:] = st
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dots_o[...] = jnp.zeros_like(dots_o)
+
+    def lanes(prod):
+        return jnp.sum(prod.reshape(-1, 128), axis=0)
+
+    # mu = p.s, delta = r.st, gamma = st.s, nu = rt.r
+    dots_o[...] += jnp.stack(
+        [lanes(p * s), lanes(r * st), lanes(st * s), lanes(rt * r)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def fused_pipe_vector_phase_prec(x, r, w, u, p, s, rt, st, wt, ut, a1, beta,
+                                 *, tile=DEFAULT_TILE, interpret=None):
+    """Preconditioned pipe-P/PR vector phase, one pass over HBM.
+
+    Returns ``(x2, r2, w2, rt2, wt2, p2, s2, st2, (mu, delta, gamma,
+    nu))`` with the dot values LOCAL partials (un-psummed), mirroring
+    the generic formulation's semantics.  The PETSc analog is the 8x
+    ``VecAXPY`` block + ``VecDot/VecMDot`` partials of the KSPPIPEPRCG
+    hot loop with preconditioning (``cg_impls/pipeprcg.c:145-158``).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n = x.shape[0]
+    n_pad = _round_up(n, tile)
+    pad = n_pad - n
+
+    def pad1(v):
+        return jnp.pad(v, (0, pad)) if pad else v
+
+    ab = jnp.stack([a1, beta]).astype(x.dtype)
+    grid = (n_pad // tile,)
+    vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_prec_kernel, tile),
+        grid=grid,
+        in_specs=[vec_spec] * 10
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[vec_spec] * 8
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), x.dtype)] * 8
+        + [jax.ShapeDtypeStruct((4, 128), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=28 * n_pad,
+            bytes_accessed=18 * n_pad * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pad1(x), pad1(r), pad1(w), pad1(u), pad1(p), pad1(s), pad1(rt),
+      pad1(st), pad1(wt), pad1(ut), ab)
+    x2, r2, w2, rt2, wt2, p2, s2, st2, lanes = outs
+    dots = jnp.sum(lanes, axis=1)
+    if pad:
+        x2, r2, w2, rt2, wt2, p2, s2, st2 = (
+            v[:n] for v in (x2, r2, w2, rt2, wt2, p2, s2, st2)
+        )
+    return x2, r2, w2, rt2, wt2, p2, s2, st2, (
+        dots[0], dots[1], dots[2], dots[3]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -308,3 +409,145 @@ def fused_pipe_full_step(offsets, data, x, r, w, u, p, s, a1, beta, *,
     x2, r2, p2, s2, u2, w_out, lanes_acc = outs
     dots = jnp.sum(lanes_acc, axis=(0, 2))
     return x2, r2, w_out, p2, s2, u2, (dots[0], dots[1], dots[2], dots[3])
+
+
+# ---------------------------------------------------------------------------
+# Preconditioned (Jacobi) whole-iteration fusion.  PCApply is elementwise
+# (x -> x / diag(A), figure_gen.py:42-44), so it fuses into the same pass:
+# the PETSc hot region overlaps MatMult + PCApply inside the reduction
+# bracket (cg_impls/pipeprcg.c:162-170); here they are literally one
+# kernel.  The tilde (preconditioned) vectors are carried explicitly so
+# the update order matches the generic formulation exactly.
+# ---------------------------------------------------------------------------
+
+
+def _full_kernel_prec(offsets, tile, recompute, data_ref, d_ref, x_ref,
+                      r_ref, w_ref, u_ref, p_ref, s_ref, rt_ref, st_ref,
+                      wt_ref, ut_ref, lo_rt_ref, hi_rt_ref, lo_st_ref,
+                      hi_st_ref, ab_ref, x_o, r_o, p_o, s_o, rt_o, st_o,
+                      u_o, ut_o, w_o, wt_o, dots_o):
+    a1 = ab_ref[0]
+    beta = ab_ref[1]
+    r2 = r_ref[:] - a1 * s_ref[:]
+    w2 = w_ref[:] - a1 * u_ref[:]
+    rt2 = rt_ref[:] - a1 * st_ref[:]
+    wt2 = wt_ref[:] - a1 * ut_ref[:]
+    p2 = rt2 + beta * p_ref[:]
+    s2 = w2 + beta * s_ref[:]
+    st2 = wt2 + beta * st_ref[:]
+    x_o[:] = x_ref[:] + a1 * p_ref[:]
+    r_o[:] = r2
+    p_o[:] = p2
+    s_o[:] = s2
+    rt_o[:] = rt2
+    st_o[:] = st2
+
+    def spmv(win):
+        o0 = offsets[0]
+        acc = data_ref[0, :] * win[HALO_PIECE + o0 : HALO_PIECE + o0 + tile]
+        for d in range(1, len(offsets)):
+            o = offsets[d]
+            acc = acc + data_ref[d, :] * win[HALO_PIECE + o : HALO_PIECE + o + tile]
+        return acc
+
+    u2 = spmv(jnp.concatenate([lo_st_ref[:], st2, hi_st_ref[:]]))
+    u_o[:] = u2
+    ut_o[:] = d_ref[:] * u2
+    if recompute:
+        w3 = spmv(jnp.concatenate([lo_rt_ref[:], rt2, hi_rt_ref[:]]))
+        w_o[:] = w3
+        wt_o[:] = d_ref[:] * w3
+    else:
+        w_o[:] = w2
+        wt_o[:] = wt2
+
+    zero = jnp.zeros_like(r2, shape=(128,))
+
+    def lanes(prod):
+        return jnp.sum(prod.reshape(-1, 128), axis=0)
+
+    # mu = p.s, delta = r.st, gamma = st.s, nu = rt.r
+    dots_o[0] = jnp.stack(
+        [lanes(p2 * s2), lanes(r2 * st2), lanes(st2 * s2), lanes(rt2 * r2),
+         zero, zero, zero, zero]
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "tile", "interpret", "recompute")
+)
+def fused_pipe_full_step_prec(offsets, data, inv_diag, x, r, w, u, p, s,
+                              rt, st, wt, ut, a1, beta, *, recompute=True,
+                              tile=DEFAULT_TILE, interpret=None):
+    """One fused Jacobi-preconditioned pipe-P/PR iteration body.
+
+    Returns ``(x2, r2, w_out, p2, s2, u2, rt2, st2, wt_out, ut2,
+    (mu, delta, gamma, nu))`` matching the generic preconditioned branch
+    of ``families.make_pipe_step``: ``u2 = A st2``, ``ut2 = M^-1 u2``,
+    and ``w_out = A rt2`` / ``wt_out = M^-1 w_out`` when ``recompute``
+    else the recurrence values.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n = x.shape[0]
+    ndiags = data.shape[0]
+    assert n % tile == 0 and data.shape[1] == n
+    nt = n // tile
+    h = max(abs(int(o)) for o in offsets)
+    assert h <= HALO_PIECE
+
+    ab = jnp.stack([a1, beta]).astype(x.dtype)
+    # boundary slivers of the UPDATED matvec inputs rt2, st2
+    rt_lo, rt_hi = _boundary_rows(rt, h, nt, tile)
+    st_lo, st_hi = _boundary_rows(st, h, nt, tile)
+    wt_lo, wt_hi = _boundary_rows(wt, h, nt, tile)
+    ut_lo, ut_hi = _boundary_rows(ut, h, nt, tile)
+    rt2_lo, rt2_hi = (rt_lo - a1 * st_lo, rt_hi - a1 * st_hi)
+    st2_lo, st2_hi = ((wt_lo - a1 * ut_lo) + beta * st_lo,
+                      (wt_hi - a1 * ut_hi) + beta * st_hi)
+    lo_rt, hi_rt = _halo_pieces(rt2_lo, rt2_hi, h, nt, x.dtype)
+    lo_st, hi_st = _halo_pieces(st2_lo, st2_hi, h, nt, x.dtype)
+
+    vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec(
+        (HALO_PIECE,), lambda i: (i,), memory_space=pltpu.VMEM
+    )
+    itemsize = data.dtype.itemsize
+    nrhs = 2 if recompute else 1
+    outs = pl.pallas_call(
+        functools.partial(_full_kernel_prec, tuple(offsets), tile, recompute),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((ndiags, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ]
+        + [vec_spec] * 11
+        + [halo_spec] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[vec_spec] * 10
+        + [
+            pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n,), x.dtype)] * 10
+        + [jax.ShapeDtypeStruct((nt, 8, 128), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * ndiags * nrhs + 30) * n,
+            bytes_accessed=(ndiags + 22) * n * itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)
+        ),
+        interpret=interpret,
+    )(data, inv_diag, x, r, w, u, p, s, rt, st, wt, ut,
+      lo_rt, hi_rt, lo_st, hi_st, ab)
+    x2, r2, p2, s2, rt2, st2, u2, ut2, w_out, wt_out, lanes_acc = outs
+    dots = jnp.sum(lanes_acc, axis=(0, 2))
+    return x2, r2, w_out, p2, s2, u2, rt2, st2, wt_out, ut2, (
+        dots[0], dots[1], dots[2], dots[3]
+    )

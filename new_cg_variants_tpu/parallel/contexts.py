@@ -197,6 +197,36 @@ class RowShardContext(_MeshContext):
 
         return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
 
+    def pipe_vector_phase_prec(self, s_, a1, beta):
+        """Preconditioned pipe vector phase: one Pallas pass + ONE psum.
+
+        The fused kernel's 4 local dot partials ride the same single
+        packed psum the generic path's ``dots()`` would — the family's
+        one-sync invariant is preserved.  Returns ``None`` (generic
+        fallback) off-TPU or when the batch must carry extra scalars.
+        """
+        import os
+
+        import jax
+
+        if (
+            os.environ.get("NCGV_DISABLE_PALLAS")
+            or jax.default_backend() != "tpu"
+            or self.compensated
+            or getattr(self, "extra_norm", None) is not None
+        ):
+            return None
+        from ..ops.fused_step import fused_pipe_vector_phase_prec
+
+        x2, r2, w2, rt2, wt2, p2, s2, st2, part = fused_pipe_vector_phase_prec(
+            s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+            s_["rt"], s_["st"], s_["wt"], s_["ut"], a1, beta,
+        )
+        summed = lax.psum(jnp.stack(part), self.axis)
+        return x2, r2, w2, rt2, wt2, p2, s2, st2, tuple(
+            summed[i] for i in range(4)
+        )
+
     def mv(self, v):
         vext = self._halo_extend(v)
         if self._use_pallas():

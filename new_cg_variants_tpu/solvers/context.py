@@ -152,6 +152,84 @@ class Context:
             interpret=None if on_tpu else True,
         )
 
+    def pipe_full_step_prec(self, s_, a1, beta, recompute):
+        """Jacobi-preconditioned whole-iteration fusion on DIA.
+
+        The PETSc hot region overlaps ``MatMult`` + ``PCApply`` inside
+        the split reduction (``cg_impls/pipeprcg.c:162-170``); PCApply is
+        elementwise for Jacobi, so here the vector phase, dot partials,
+        both SpMVs AND both preconditioner applies are ONE Pallas pass
+        (:func:`..ops.fused_step.fused_pipe_full_step_prec`).  Returns
+        ``None`` when the configuration doesn't qualify (non-Jacobi
+        preconditioner, norm-in-batch rho, non-DIA operator, ...) and the
+        caller falls back to the generic formulation.
+        """
+        import os
+
+        import jax
+
+        mode = os.environ.get("NCGV_FULL_FUSED", "")
+        if (
+            mode == "0"
+            or self.compensated
+            or getattr(self, "extra_norm", None) is not None
+            or os.environ.get("NCGV_DISABLE_PALLAS")
+        ):
+            return None
+        from .precond import JacobiPreconditioner
+
+        if not isinstance(self.precond, JacobiPreconditioner):
+            return None
+        on_tpu = jax.default_backend() == "tpu"
+        if not on_tpu and mode != "1":
+            return None
+        from ..ops.operators import DiaOperator
+
+        if not isinstance(self.op, DiaOperator):
+            return None
+        from ..ops.fused_step import (
+            fused_pipe_full_step_prec,
+            supports_full_step,
+        )
+
+        n = s_["x"].shape[0]
+        if self.op.data.shape[1] != n or not supports_full_step(self.op.offsets, n):
+            return None
+        return fused_pipe_full_step_prec(
+            self.op.offsets, self.op.data, self.precond.inv_diag,
+            s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+            s_["rt"], s_["st"], s_["wt"], s_["ut"],
+            a1, beta, recompute=recompute,
+            interpret=None if on_tpu else True,
+        )
+
+    def pipe_vector_phase_prec(self, s_, a1, beta):
+        """Optional fused preconditioned vector phase (kernel opt-in).
+
+        Returns ``None`` to use the generic inline formulation (the
+        measured-best default on chip, like :meth:`pipe_vector_phase`);
+        ``NCGV_FUSED_STEP=1`` opts into the standalone Pallas kernel.
+        Distributed row contexts override this with a kernel + one psum.
+        """
+        import os
+
+        import jax
+
+        if not (
+            os.environ.get("NCGV_FUSED_STEP")
+            and jax.default_backend() == "tpu"
+            and not self.compensated
+            and getattr(self, "extra_norm", None) is None
+            and not os.environ.get("NCGV_DISABLE_PALLAS")
+        ):
+            return None
+        from ..ops.fused_step import fused_pipe_vector_phase_prec
+
+        return fused_pipe_vector_phase_prec(
+            s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+            s_["rt"], s_["st"], s_["wt"], s_["ut"], a1, beta,
+        )
+
 
 def generic_pipe_vector_phase(ctx, x, r, w, u, p, s, a1, beta):
     """Reference formulation of the pipe vector phase over any context.

@@ -371,6 +371,36 @@ def make_pipe_step(meurant: bool, recompute: bool):
                 gamma=gamma, a=nu / mu, b=beta,
             )
             return _rotate(s_, new)
+        # Preconditioned path.  Whole-iteration fusion first (vector
+        # phase + dot partials + both SpMVs + both PCApplies in ONE
+        # Pallas pass — the TPU realization of the PETSc overlapped
+        # MatMult+PCApply hot region, cg_impls/pipeprcg.c:162-170), then
+        # the fused vector phase, then the generic formulation; identical
+        # update order in all three.
+        full = getattr(ctx, "pipe_full_step_prec", None)
+        fused = full(s_, a1, beta, recompute) if full is not None else None
+        if fused is not None:
+            x, r, w, p, s, u, rt, st_, wt, ut, (mu, delta, gamma, nu) = fused
+            new = dict(
+                x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
+                gamma=gamma, a=nu / mu, b=beta, rt=rt, st=st_, wt=wt, ut=ut,
+            )
+            return _rotate(s_, new)
+        vp = getattr(ctx, "pipe_vector_phase_prec", None)
+        vec = vp(s_, a1, beta) if vp is not None else None
+        if vec is not None:
+            x, r, w, rt, wt, p, s, st_, (mu, delta, gamma, nu) = vec
+            if recompute:
+                u, w = ctx.mv2(st_, rt)  # fused 2-RHS matvec
+                wt = ctx.prec(w)
+            else:
+                u = ctx.mv(st_)
+            ut = ctx.prec(u)
+            new = dict(
+                x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
+                gamma=gamma, a=nu / mu, b=beta, rt=rt, st=st_, wt=wt, ut=ut,
+            )
+            return _rotate(s_, new)
         x = s_["x"] + a1 * s_["p"]
         r = s_["r"] - a1 * s_["s"]
         w = s_["w"] - a1 * s_["u"]
