@@ -251,31 +251,57 @@ class RowShardContext(_MeshContext):
 class EllRowShardContext(_MeshContext):
     """Row-partitioned padded-ELL operator for GENERAL sparse matrices.
 
-    Each device owns an ``(m, L)`` block of rows with GLOBAL column
-    indices.  Arbitrary sparsity means the needed remote entries are not
-    a neighbor halo, so the vector is ``all_gather``-ed before the local
-    gather+reduce — the general-matrix fallback SURVEY §7 calls for
-    (traffic class of the reference mpi4py ``Allreduce`` combine, but
-    rides ICI as an all-gather).  Banded/DIA operators should use
-    :class:`RowShardContext` instead.
+    Each device owns an ``(m, L)`` block of rows.  Two exchange modes for
+    the off-device vector entries the local gather references:
+
+    * **Index exchange** (default when a plan is given): the PETSc
+      ``VecScatter`` analog (``mpiaij`` MatMult inside
+      ``cg_impls/pipeprcg.c:162-170``).  ``local_idx`` is pre-remapped
+      into cache coordinates and ``send_idx``/``shifts`` come from
+      :func:`~.ell_exchange.plan_ell_exchange`; the exchange is one
+      circular ``lax.ppermute`` per active ring hop, traffic
+      O(interface) per device instead of O(n).
+    * **All-gather fallback** (no plan): the vector is gathered whole —
+      correct for arbitrary sparsity, O(n) traffic; chosen automatically
+      when the planner finds the padded hop traffic would exceed it.
+
+    Banded/DIA operators should use :class:`RowShardContext` instead.
     """
 
     def __init__(self, local_val, local_idx, axis, precond=None,
-                 compensated=False):
+                 compensated=False, shifts=(), send_idx=()):
         self.local_val = local_val
         self.local_idx = local_idx
         self.axis = axis
         self.precond = precond
         self.compensated = compensated
+        self.shifts = tuple(shifts)
+        self.send_idx = tuple(send_idx)
+
+    def _cache(self, v):
+        """[own slice | hop payloads] — the local gather target.
+
+        One circular ppermute per active hop; every device sends its
+        padded request list for that hop, receivers never read pad slots
+        (the remapped indices only point at real entries).
+        """
+        if not self.shifts:
+            return lax.all_gather(v, self.axis, tiled=True)
+        p = lax.axis_size(self.axis)
+        parts = [v]
+        for s, sidx in zip(self.shifts, self.send_idx):
+            perm = [(o, (o + s) % p) for o in range(p)]
+            parts.append(lax.ppermute(v[sidx], self.axis, perm))
+        return jnp.concatenate(parts, axis=0)
 
     def mv(self, v):
-        v_full = lax.all_gather(v, self.axis, tiled=True)  # (n,)
-        return jnp.sum(self.local_val * v_full[self.local_idx], axis=1)
+        cache = self._cache(v)
+        return jnp.sum(self.local_val * cache[self.local_idx], axis=1)
 
     def mv2(self, v, w):
-        vw = jnp.stack([v, w], axis=1)  # ONE all_gather for both RHS
-        vw_full = lax.all_gather(vw, self.axis, tiled=True)  # (n, 2)
-        g = vw_full[self.local_idx]  # (m, L, 2)
+        vw = jnp.stack([v, w], axis=1)  # ONE exchange for both RHS
+        cache = self._cache(vw)  # (m + recv, 2) or (n, 2)
+        g = cache[self.local_idx]  # (m, L, 2)
         out = jnp.sum(self.local_val[:, :, None] * g, axis=1)
         return out[:, 0], out[:, 1]
 

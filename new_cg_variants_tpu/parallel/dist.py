@@ -145,11 +145,27 @@ def _local_ctx_factory(op, partition, mesh, precond, compensated=False,
         raise ValueError(f"n={n} must be divisible by mesh size {p}")
 
     if partition == "row" and isinstance(op, EllOperator):
-        # ELL val/idx are (n, L) — shard rows; indices stay global
-        mat_operand, mat_spec = (op.val, op.idx), (P(AXIS, None), P(AXIS, None))
+        # ELL val/idx are (n, L) — shard rows.  The planner builds the
+        # VecScatter-analog index exchange (O(interface) traffic per
+        # device); when padded hop traffic would exceed the all_gather
+        # it returns None and the dense exchange is kept.
+        from .ell_exchange import plan_or_none
+
+        plan = plan_or_none(np.asarray(op.idx), n, p)
+        if plan is None:
+            mat_operand = (op.val, op.idx)
+            shifts = ()
+        else:
+            mat_operand = (op.val, jnp.asarray(plan.idx_remap),
+                           *(jnp.asarray(a) for a in plan.send_idx))
+            shifts = plan.shifts
+        mat_spec = (P(AXIS, None),) * len(mat_operand)
+
         def build_mat_ctx(local, prec_local):
+            send = tuple(a[0] for a in local[2:])  # squeeze the shard axis
             return EllRowShardContext(local[0], local[1], AXIS, prec_local,
-                                      compensated=compensated)
+                                      compensated=compensated,
+                                      shifts=shifts, send_idx=send)
     elif partition == "row":
         # DIA data is (ndiags, n), row-indexed — shard columns (= matrix rows)
         mat_operand, mat_spec = op.data, P(None, AXIS)
