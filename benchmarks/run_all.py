@@ -57,6 +57,13 @@ def time_fixed_iters(variant, op, b, iters, chunks=2):
         state = init_fn(ctx, b, jnp.zeros_like(b))
         return jax.lax.fori_loop(0, iters, lambda _, s: step_fn(ctx, s), state)
 
+    # b MUST be device-resident before the timer starts: a numpy b is
+    # re-uploaded through the tunnel on EVERY call that receives it
+    # (seconds for MB-scale vectors — it inflated every variant by a
+    # near-constant ~0.3 ms/iter in the r1/r2 suites until fixed)
+    b = jnp.asarray(b)
+    _fetch(b[0])  # drain the host->device transfer
+
     s = run_iters(op, b)
     _fetch(s["nu"])  # compile + warm
     t0 = time.perf_counter()

@@ -262,7 +262,17 @@ def fused_pipe_vector_phase_prec(x, r, w, u, p, s, rt, st, wt, ut, a1, beta,
 # KSPPIPEPRCG hot loop (cg_impls/pipeprcg.c:145-173): the 8-AXPY block,
 # the VecDot/VecMDot partials and both MatMults are one fused region.
 
-HALO_PIECE = 1024
+HALO_PIECE = 1024  # max supported band half-width
+
+
+def _piece(h: int) -> int:
+    """Halo-piece width: the band rounded up to the 128-lane grain.
+
+    The kernel reads ``2 * piece`` extra rows per tile; sizing it to the
+    band (instead of the fixed 1024 ceiling) cut ~2 vector-streams of
+    pure padding traffic per iteration at the headline k=32.
+    """
+    return max(128, -(-h // 128) * 128)
 
 
 def supports_full_step(offsets, n: int, tile: int = DEFAULT_TILE) -> bool:
@@ -271,9 +281,9 @@ def supports_full_step(offsets, n: int, tile: int = DEFAULT_TILE) -> bool:
     return h <= HALO_PIECE and n % tile == 0 and n // tile >= 2
 
 
-def _full_kernel(offsets, tile, recompute, data_ref, x_ref, r_ref, w_ref,
-                 u_ref, p_ref, s_ref, lo_r_ref, hi_r_ref, lo_s_ref, hi_s_ref,
-                 ab_ref, x_o, r_o, p_o, s_o, u_o, w_o, dots_o):
+def _full_kernel(offsets, tile, piece, recompute, data_ref, x_ref, r_ref,
+                 w_ref, u_ref, p_ref, s_ref, lo_r_ref, hi_r_ref, lo_s_ref,
+                 hi_s_ref, ab_ref, x_o, r_o, p_o, s_o, u_o, w_o, dots_o):
     import jax.experimental.pallas as pl
 
     a1 = ab_ref[0]
@@ -290,10 +300,10 @@ def _full_kernel(offsets, tile, recompute, data_ref, x_ref, r_ref, w_ref,
 
     def spmv(win):
         o0 = offsets[0]
-        acc = data_ref[0, :] * win[HALO_PIECE + o0 : HALO_PIECE + o0 + tile]
+        acc = data_ref[0, :] * win[piece + o0 : piece + o0 + tile]
         for d in range(1, len(offsets)):
             o = offsets[d]
-            acc = acc + data_ref[d, :] * win[HALO_PIECE + o : HALO_PIECE + o + tile]
+            acc = acc + data_ref[d, :] * win[piece + o : piece + o + tile]
         return acc
 
     u_o[:] = spmv(jnp.concatenate([lo_s_ref[:], s2, hi_s_ref[:]]))
@@ -328,10 +338,10 @@ def _boundary_rows(v, h, nt, tile):
     return low, high
 
 
-def _halo_pieces(lows, highs, h, nt, dtype):
-    """(nt*HALO_PIECE,) aligned back/front halo pieces (see layout above)."""
-    lo = jnp.zeros((nt, HALO_PIECE), dtype).at[:, HALO_PIECE - h:].set(lows)
-    hi = jnp.zeros((nt, HALO_PIECE), dtype).at[:, :h].set(highs)
+def _halo_pieces(lows, highs, h, nt, dtype, piece):
+    """(nt*piece,) aligned back/front halo pieces (see layout above)."""
+    lo = jnp.zeros((nt, piece), dtype).at[:, piece - h:].set(lows)
+    hi = jnp.zeros((nt, piece), dtype).at[:, :h].set(highs)
     return lo.reshape(-1), hi.reshape(-1)
 
 
@@ -359,6 +369,7 @@ def fused_pipe_full_step(offsets, data, x, r, w, u, p, s, a1, beta, *,
     nt = n // tile
     h = max(abs(int(o)) for o in offsets)
     assert h <= HALO_PIECE
+    piece = _piece(h)
 
     ab = jnp.stack([a1, beta]).astype(x.dtype)
     # the updated r/s on each tile's 2h boundary rows, computed by XLA on
@@ -370,17 +381,18 @@ def fused_pipe_full_step(offsets, data, x, r, w, u, p, s, a1, beta, *,
     r2_lo, r2_hi = (r_lo - a1 * s_lo, r_hi - a1 * s_hi)
     s2_lo, s2_hi = ((w_lo - a1 * u_lo) + beta * s_lo,
                     (w_hi - a1 * u_hi) + beta * s_hi)
-    lo_r, hi_r = _halo_pieces(r2_lo, r2_hi, h, nt, x.dtype)
-    lo_s, hi_s = _halo_pieces(s2_lo, s2_hi, h, nt, x.dtype)
+    lo_r, hi_r = _halo_pieces(r2_lo, r2_hi, h, nt, x.dtype, piece)
+    lo_s, hi_s = _halo_pieces(s2_lo, s2_hi, h, nt, x.dtype, piece)
 
     vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
     halo_spec = pl.BlockSpec(
-        (HALO_PIECE,), lambda i: (i,), memory_space=pltpu.VMEM
+        (piece,), lambda i: (i,), memory_space=pltpu.VMEM
     )
     itemsize = data.dtype.itemsize
     nrhs = 2 if recompute else 1
     outs = pl.pallas_call(
-        functools.partial(_full_kernel, tuple(offsets), tile, recompute),
+        functools.partial(_full_kernel, tuple(offsets), tile, piece,
+                          recompute),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((ndiags, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -421,11 +433,11 @@ def fused_pipe_full_step(offsets, data, x, r, w, u, p, s, a1, beta, *,
 # ---------------------------------------------------------------------------
 
 
-def _full_kernel_prec(offsets, tile, recompute, data_ref, d_ref, x_ref,
-                      r_ref, w_ref, u_ref, p_ref, s_ref, rt_ref, st_ref,
-                      wt_ref, ut_ref, lo_rt_ref, hi_rt_ref, lo_st_ref,
-                      hi_st_ref, ab_ref, x_o, r_o, p_o, s_o, rt_o, st_o,
-                      u_o, ut_o, w_o, wt_o, dots_o):
+def _full_kernel_prec(offsets, tile, piece, recompute, data_ref, d_ref,
+                      x_ref, r_ref, w_ref, u_ref, p_ref, s_ref, rt_ref,
+                      st_ref, wt_ref, ut_ref, lo_rt_ref, hi_rt_ref,
+                      lo_st_ref, hi_st_ref, ab_ref, x_o, r_o, p_o, s_o,
+                      rt_o, st_o, u_o, ut_o, w_o, wt_o, dots_o):
     a1 = ab_ref[0]
     beta = ab_ref[1]
     r2 = r_ref[:] - a1 * s_ref[:]
@@ -444,10 +456,10 @@ def _full_kernel_prec(offsets, tile, recompute, data_ref, d_ref, x_ref,
 
     def spmv(win):
         o0 = offsets[0]
-        acc = data_ref[0, :] * win[HALO_PIECE + o0 : HALO_PIECE + o0 + tile]
+        acc = data_ref[0, :] * win[piece + o0 : piece + o0 + tile]
         for d in range(1, len(offsets)):
             o = offsets[d]
-            acc = acc + data_ref[d, :] * win[HALO_PIECE + o : HALO_PIECE + o + tile]
+            acc = acc + data_ref[d, :] * win[piece + o : piece + o + tile]
         return acc
 
     u2 = spmv(jnp.concatenate([lo_st_ref[:], st2, hi_st_ref[:]]))
@@ -499,6 +511,7 @@ def fused_pipe_full_step_prec(offsets, data, inv_diag, x, r, w, u, p, s,
     nt = n // tile
     h = max(abs(int(o)) for o in offsets)
     assert h <= HALO_PIECE
+    piece = _piece(h)
 
     ab = jnp.stack([a1, beta]).astype(x.dtype)
     # boundary slivers of the UPDATED matvec inputs rt2, st2
@@ -509,17 +522,18 @@ def fused_pipe_full_step_prec(offsets, data, inv_diag, x, r, w, u, p, s,
     rt2_lo, rt2_hi = (rt_lo - a1 * st_lo, rt_hi - a1 * st_hi)
     st2_lo, st2_hi = ((wt_lo - a1 * ut_lo) + beta * st_lo,
                       (wt_hi - a1 * ut_hi) + beta * st_hi)
-    lo_rt, hi_rt = _halo_pieces(rt2_lo, rt2_hi, h, nt, x.dtype)
-    lo_st, hi_st = _halo_pieces(st2_lo, st2_hi, h, nt, x.dtype)
+    lo_rt, hi_rt = _halo_pieces(rt2_lo, rt2_hi, h, nt, x.dtype, piece)
+    lo_st, hi_st = _halo_pieces(st2_lo, st2_hi, h, nt, x.dtype, piece)
 
     vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
     halo_spec = pl.BlockSpec(
-        (HALO_PIECE,), lambda i: (i,), memory_space=pltpu.VMEM
+        (piece,), lambda i: (i,), memory_space=pltpu.VMEM
     )
     itemsize = data.dtype.itemsize
     nrhs = 2 if recompute else 1
     outs = pl.pallas_call(
-        functools.partial(_full_kernel_prec, tuple(offsets), tile, recompute),
+        functools.partial(_full_kernel_prec, tuple(offsets), tile, piece,
+                          recompute),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((ndiags, tile), lambda i: (0, i), memory_space=pltpu.VMEM)

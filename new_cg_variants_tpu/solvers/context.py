@@ -143,12 +143,17 @@ class Context:
         from ..ops.fused_step import fused_pipe_full_step, supports_full_step
 
         n = s_["x"].shape[0]
-        if self.op.data.shape[1] != n or not supports_full_step(self.op.offsets, n):
+        from ..ops.fused_step import DEFAULT_TILE
+
+        tile = int(os.environ.get("NCGV_FUSED_TILE", 0)) or DEFAULT_TILE
+        if self.op.data.shape[1] != n or not supports_full_step(
+            self.op.offsets, n, tile
+        ):
             return None
         return fused_pipe_full_step(
             self.op.offsets, self.op.data,
             s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
-            a1, beta, recompute=recompute,
+            a1, beta, recompute=recompute, tile=tile,
             interpret=None if on_tpu else True,
         )
 
