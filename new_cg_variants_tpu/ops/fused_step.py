@@ -266,13 +266,16 @@ HALO_PIECE = 1024  # max supported band half-width
 
 
 def _piece(h: int) -> int:
-    """Halo-piece width: the band rounded up to the 128-lane grain.
+    """Halo-piece width: the band rounded up to the FULL (8, 128) vreg tile.
 
-    The kernel reads ``2 * piece`` extra rows per tile; sizing it to the
-    band (instead of the fixed 1024 ceiling) cut ~2 vector-streams of
-    pure padding traffic per iteration at the headline k=32.
+    Mosaic requires every input of an in-kernel ``concatenate`` to start
+    at a multiple of the 1024-element (8x128) tile — 128-lane alignment
+    is NOT sufficient on all toolchains ("Input offsets outside of the
+    first tile" on the driver's libtpu for a 128|2048|128 concat).  The
+    sub-tile sizing saved only 0.03% of traffic at the headline k=32;
+    portability wins.
     """
-    return max(128, -(-h // 128) * 128)
+    return max(HALO_PIECE, -(-h // HALO_PIECE) * HALO_PIECE)
 
 
 def supports_full_step(offsets, n: int, tile: int = DEFAULT_TILE) -> bool:
