@@ -91,9 +91,11 @@ class Context:
         Default is the generic formulation: XLA fuses the 5 elementwise
         updates and 4 reductions into one pass already, and measured
         on-chip it beats the standalone Pallas kernel
-        (:mod:`..ops.fused_step`, opt-in via ``NCGV_FUSED_STEP=1``) —
-        0.321 vs 0.364 ms/iter on the n=650k headline (PERF.md).
-        Returns ``(x2, r2, w2, p2, s2, (mu, delta, gamma, nu))``.
+        (:mod:`..ops.fused_step`, opt-in via ``NCGV_FUSED_STEP=1``).
+        The whole-iteration fusion (:meth:`pipe_full_step`) supersedes
+        both when the operator qualifies; current measured numbers live
+        in PERF.md.  Returns ``(x2, r2, w2, p2, s2, (mu, delta, gamma,
+        nu))``.
         """
         import os
 
@@ -110,16 +112,13 @@ class Context:
             return fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta)
         return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
 
-    def pipe_full_step(self, s_, a1, beta, recompute):
-        """Whole-iteration fusion for unpreconditioned pipe-P/PR on DIA.
+    def _dia_full_fused_ok(self, n):
+        """Shared qualification for the whole-iteration DIA fusions.
 
-        Vector phase + 4-dot partials + both SpMVs in ONE Pallas pass
-        (:func:`..ops.fused_step.fused_pipe_full_step`) — the TPU analog
-        of the PETSc KSPPIPEPRCG fused hot-loop region
-        (``cg_impls/pipeprcg.c:145-173``).  Returns ``None`` when the
-        operator/shape/backend doesn't qualify and the caller falls back
-        to the split formulation.  ``NCGV_FULL_FUSED=0`` disables; ``=1``
-        forces it (interpret mode off-TPU, for tests).
+        Returns ``(tile, interpret)`` when the unpreconditioned fused
+        full-step kernels apply, else ``None``.  ``NCGV_FULL_FUSED=0``
+        disables; ``=1`` forces them off-TPU (interpret mode, for
+        tests); ``NCGV_FUSED_TILE`` overrides the kernel tile.
         """
         import os
 
@@ -130,6 +129,7 @@ class Context:
             mode == "0"
             or self.compensated
             or self.has_prec
+            or getattr(self, "extra_norm", None) is not None
             or os.environ.get("NCGV_DISABLE_PALLAS")
         ):
             return None
@@ -140,21 +140,97 @@ class Context:
 
         if not isinstance(self.op, DiaOperator):
             return None
-        from ..ops.fused_step import fused_pipe_full_step, supports_full_step
-
-        n = s_["x"].shape[0]
-        from ..ops.fused_step import DEFAULT_TILE
+        from ..ops.fused_step import DEFAULT_TILE, supports_full_step
 
         tile = int(os.environ.get("NCGV_FUSED_TILE", 0)) or DEFAULT_TILE
         if self.op.data.shape[1] != n or not supports_full_step(
             self.op.offsets, n, tile
         ):
             return None
+        return tile, (None if on_tpu else True)
+
+    def pipe_full_step(self, s_, a1, beta, recompute):
+        """Whole-iteration fusion for unpreconditioned pipe-P/PR on DIA.
+
+        Vector phase + 4-dot partials + both SpMVs in ONE Pallas pass
+        (:func:`..ops.fused_step.fused_pipe_full_step`) — the TPU analog
+        of the PETSc KSPPIPEPRCG fused hot-loop region
+        (``cg_impls/pipeprcg.c:145-173``).  Returns ``None`` when the
+        operator/shape/backend doesn't qualify and the caller falls back
+        to the split formulation.
+        """
+        ok = self._dia_full_fused_ok(s_["x"].shape[0])
+        if ok is None:
+            return None
+        tile, interpret = ok
+        from ..ops.fused_step import fused_pipe_full_step
+
         return fused_pipe_full_step(
             self.op.offsets, self.op.data,
             s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
-            a1, beta, recompute=recompute, tile=tile,
-            interpret=None if on_tpu else True,
+            a1, beta, recompute=recompute, tile=tile, interpret=interpret,
+        )
+
+    def pr_full_step(self, s_, a1, beta):
+        """Whole-iteration fusion for unpreconditioned PR/Meurant CG.
+
+        beta is predicted from last iteration's scalars, so the ENTIRE
+        iteration (x,r,p updates + s = A p + the 4-dot sync partials)
+        is one Pallas pass (:func:`..ops.fused_family.fused_pr_full_step`)
+        — the analog of the PETSc KSPPRCG hot loop
+        (``cg_impls/prcg.c:122-137``).
+        """
+        ok = self._dia_full_fused_ok(s_["x"].shape[0])
+        if ok is None:
+            return None
+        tile, interpret = ok
+        from ..ops.fused_family import fused_pr_full_step
+
+        return fused_pr_full_step(
+            self.op.offsets, self.op.data,
+            s_["x"], s_["r"], s_["p"], s_["s"],
+            a1, beta, tile=tile, interpret=interpret,
+        )
+
+    def cgcg_matvec_phase(self, s_, a1):
+        """Fused Chronopoulos-Gear phase: x,r updates + w = A r + partials."""
+        ok = self._dia_full_fused_ok(s_["x"].shape[0])
+        if ok is None:
+            return None
+        tile, interpret = ok
+        from ..ops.fused_family import fused_cgcg_matvec_phase
+
+        return fused_cgcg_matvec_phase(
+            self.op.offsets, self.op.data,
+            s_["x"], s_["r"], s_["p"], s_["s"],
+            a1, tile=tile, interpret=interpret,
+        )
+
+    def gv_matvec_phase(self, s_, a1):
+        """Fused GV phase: x,r,w updates + t = A w + nu,eta partials."""
+        ok = self._dia_full_fused_ok(s_["x"].shape[0])
+        if ok is None:
+            return None
+        tile, interpret = ok
+        from ..ops.fused_family import fused_gv_matvec_phase
+
+        return fused_gv_matvec_phase(
+            self.op.offsets, self.op.data,
+            s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+            a1, tile=tile, interpret=interpret,
+        )
+
+    def hs_matvec_phase(self, r, p, beta):
+        """Fused HS second sync phase: p update + s = A p + mu partial."""
+        ok = self._dia_full_fused_ok(r.shape[0])
+        if ok is None:
+            return None
+        tile, interpret = ok
+        from ..ops.fused_family import fused_hs_matvec_phase
+
+        return fused_hs_matvec_phase(
+            self.op.offsets, self.op.data, r, p, beta,
+            tile=tile, interpret=interpret,
         )
 
     def pipe_full_step_prec(self, s_, a1, beta, recompute):
