@@ -162,11 +162,24 @@ def test_matrix(
     (re-run a single variant/matrix, regenerate only that figure;
     ``predict_and_recompute/README.md:38-40``).
     """
+    import scipy.sparse as sp
+
     op = as_operator(A, dtype=dtype)
     n = op.n
-    a_dense = np.asarray(op.todense(), dtype=np.float64)
+    # Keep A SPARSE end-to-end (the reference feeds CSR throughout,
+    # figure_gen.py:350): b comes from a CSR matvec and the oracle gets
+    # the CSR, so the big configs (bcsstk17/18, s*rm*, n up to ~90k)
+    # never pay the O(n^2) densification.
+    if sp.issparse(A):
+        a_mat = A.tocsr().astype(np.float64)
+    elif hasattr(A, "tocsr"):
+        a_mat = A.tocsr().astype(np.float64)
+    elif hasattr(op, "tocsr"):
+        a_mat = op.tocsr().astype(np.float64)
+    else:
+        a_mat = np.asarray(op.todense(), dtype=np.float64)
     x_true = np.ones(n) / np.sqrt(n)
-    b = a_dense @ x_true
+    b = np.asarray(a_mat @ x_true, dtype=np.float64)
 
     out_dir = pathlib.Path(data_dir) / f"{title}_{preconditioner}"
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -174,7 +187,7 @@ def test_matrix(
     results = {}
     if include_exact and not (resume and (out_dir / "exact_pcg.npy").exists()):
         trial = exact_pcg(
-            a_dense, b, max_iter=min(max_iter, n), probes=PROBES,
+            a_mat, b, max_iter=min(max_iter, n), probes=PROBES,
             preconditioner=preconditioner, x_true=x_true,
         )
         np.save(out_dir / "exact_pcg.npy", trial, allow_pickle=True)

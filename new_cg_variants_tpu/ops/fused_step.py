@@ -35,7 +35,11 @@ __all__ = [
     "supports_full_step",
 ]
 
-DEFAULT_TILE = 2048
+# Measured on the v5e headline (n=651264, k=32, pipe_pr full step):
+# tile 4096 = 0.2674 ms/iter vs 2048 = 0.3284 (-18.6%) — the larger tile
+# both sustains more HBM bandwidth (pallas_ceiling.json: 597.6 vs 560.2
+# GB/s) and halves the per-tile halo-piece overhead fraction.
+DEFAULT_TILE = 4096
 
 
 def _round_up(x: int, m: int) -> int:

@@ -39,7 +39,10 @@ import jax.numpy as jnp
 
 __all__ = ["dia_spmv", "dia_spmv2", "supports", "DEFAULT_TILE"]
 
-DEFAULT_TILE = 2048
+# Measured: tile 4096 sustains 597.6 GB/s vs 2048's 560.2 on the v5e
+# read-ceiling microbenchmark (benchmarks/pallas_ceiling.json), and the
+# fused full step improved 18.6% at 4096 (BENCH tile A/B, PERF.md).
+DEFAULT_TILE = 4096
 
 
 def _round_up(x: int, m: int) -> int:

@@ -269,18 +269,22 @@ class Context:
         if not isinstance(self.op, DiaOperator):
             return None
         from ..ops.fused_step import (
+            DEFAULT_TILE,
             fused_pipe_full_step_prec,
             supports_full_step,
         )
 
         n = s_["x"].shape[0]
-        if self.op.data.shape[1] != n or not supports_full_step(self.op.offsets, n):
+        tile = int(os.environ.get("NCGV_FUSED_TILE", 0)) or DEFAULT_TILE
+        if self.op.data.shape[1] != n or not supports_full_step(
+            self.op.offsets, n, tile
+        ):
             return None
         return fused_pipe_full_step_prec(
             self.op.offsets, self.op.data, self.precond.inv_diag,
             s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
             s_["rt"], s_["st"], s_["wt"], s_["ut"],
-            a1, beta, recompute=recompute,
+            a1, beta, recompute=recompute, tile=tile,
             interpret=None if on_tpu else True,
         )
 

@@ -125,6 +125,7 @@ def test_solver_path_with_family_fusion(variant, monkeypatch):
 
     out_ref = run(variant, op, b, **kw)
     monkeypatch.setenv("NCGV_FULL_FUSED", "1")
+    monkeypatch.setenv("NCGV_FUSED_TILE", "2048")
     out_fused = run(variant, op, b, **kw)
 
     res_f = np.asarray(out_fused["updated_residual_2_norm"])
@@ -147,6 +148,7 @@ def test_solve_with_family_fusion_converges(variant, monkeypatch):
     op, b, _ = banded_model(n, k=4, kappa=100.0)
     res_ref = solve(op, b, variant=variant, rtol=1e-10, max_iter=300)
     monkeypatch.setenv("NCGV_FULL_FUSED", "1")
+    monkeypatch.setenv("NCGV_FUSED_TILE", "2048")
     res_f = solve(op, b, variant=variant, rtol=1e-10, max_iter=300)
     assert res_f.converged and res_ref.converged
     assert abs(int(res_f.iterations) - int(res_ref.iterations)) <= 2
@@ -165,6 +167,7 @@ def test_family_gating(monkeypatch):
     beta = jnp.asarray(0.0)
 
     monkeypatch.setenv("NCGV_FULL_FUSED", "1")
+    monkeypatch.setenv("NCGV_FUSED_TILE", "2048")
     assert ctx.pr_full_step(sv, a1, beta) is not None
     assert ctx.cgcg_matvec_phase(sv, a1) is not None
     assert ctx.gv_matvec_phase(sv, a1) is not None
@@ -172,6 +175,7 @@ def test_family_gating(monkeypatch):
     monkeypatch.setenv("NCGV_FULL_FUSED", "0")
     assert ctx.pr_full_step(sv, a1, beta) is None
     monkeypatch.setenv("NCGV_FULL_FUSED", "1")
+    monkeypatch.setenv("NCGV_FUSED_TILE", "2048")
     monkeypatch.setenv("NCGV_DISABLE_PALLAS", "1")
     assert ctx.gv_matvec_phase(sv, a1) is None
     monkeypatch.delenv("NCGV_DISABLE_PALLAS")

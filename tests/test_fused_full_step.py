@@ -26,7 +26,7 @@ def _rand_state(n, rng):
 
 
 @pytest.mark.parametrize("recompute", [True, False])
-@pytest.mark.parametrize("n,k", [(4096, 3), (8192, 32)])
+@pytest.mark.parametrize("n,k", [(8192, 3), (8192, 32)])
 def test_full_step_matches_split(n, k, recompute):
     op, _, _ = banded_model(n, k=k, kappa=100.0)
     assert supports_full_step(op.offsets, n)
@@ -69,6 +69,7 @@ def test_solver_path_with_full_fusion(variant, monkeypatch):
 
     out_ref = run(variant, op, b, **kw)
     monkeypatch.setenv("NCGV_FULL_FUSED", "1")
+    monkeypatch.setenv("NCGV_FUSED_TILE", "2048")
     out_fused = run(variant, op, b, **kw)
 
     res_f = np.asarray(out_fused["updated_residual_2_norm"])
@@ -180,6 +181,7 @@ def test_solver_path_prec_full_fusion(variant, monkeypatch):
 
     out_ref = run(variant, op, b, **kw)
     monkeypatch.setenv("NCGV_FULL_FUSED", "1")
+    monkeypatch.setenv("NCGV_FUSED_TILE", "2048")
     out_fused = run(variant, op, b, **kw)
 
     res_f = np.asarray(out_fused["updated_residual_2_norm"])
@@ -206,6 +208,7 @@ def test_prec_gating(monkeypatch):
     beta = jnp.asarray(0.0)
 
     monkeypatch.setenv("NCGV_FULL_FUSED", "1")
+    monkeypatch.setenv("NCGV_FUSED_TILE", "2048")
     ctx = Context(op, JacobiPreconditioner.from_operator(op))
     assert ctx.pipe_full_step_prec(sv, a1, beta, True) is not None
     # non-Jacobi preconditioner: no fused path
@@ -226,10 +229,12 @@ def test_gating(monkeypatch):
     beta = jnp.asarray(0.0)
 
     monkeypatch.setenv("NCGV_FULL_FUSED", "1")
+    monkeypatch.setenv("NCGV_FUSED_TILE", "2048")
     assert ctx.pipe_full_step(sv, a1, beta, True) is not None
     monkeypatch.setenv("NCGV_FULL_FUSED", "0")
     assert ctx.pipe_full_step(sv, a1, beta, True) is None
     monkeypatch.setenv("NCGV_FULL_FUSED", "1")
+    monkeypatch.setenv("NCGV_FUSED_TILE", "2048")
     monkeypatch.setenv("NCGV_DISABLE_PALLAS", "1")
     assert ctx.pipe_full_step(sv, a1, beta, True) is None
     monkeypatch.delenv("NCGV_DISABLE_PALLAS")
