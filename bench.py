@@ -19,11 +19,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import time
 
-# 318 * 2048: the PETSc mesh_pts=650000 rounded up to a Pallas tile
-# multiple (+0.19%), so the DIA data needs no per-call pad copy on the
-# kernel fast path.  Baseline ms/iter is size-independent enough at this
-# delta (per-iteration cost is linear in n).
-N = 651_264
+# 80 * 8192: the PETSc mesh_pts=650000 rounded up to a multiple of the
+# best-measured kernel tile (+0.82%; benchmarks/tile_scan.json: tile
+# 8192 = 0.2450 ms/iter vs 4096 = 0.2694 at this n), so the DIA data
+# needs no per-call pad copy on the kernel fast path.  Baseline ms/iter
+# is size-independent enough at this delta (per-iteration cost is
+# linear in n, and the extra 0.8% rows make the comparison conservative).
+N = 655_360
 K_BAND = 32
 # 2 x 5000 chained iterations: per-dispatch tunnel latency (can be
 # seconds, fluctuating) amortizes to <0.05 ms/iter of noise

@@ -97,7 +97,7 @@ def main(argv=None):
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
-    n = 65_536 if args.quick else 651_264
+    n = 65_536 if args.quick else 655_360
     # 2 x 5000 chained iterations per variant: tunnel dispatch+fetch noise
     # (can be seconds) amortizes to <0.1 ms/iter (PERF.md methodology)
     iters = 50 if args.quick else 5000

@@ -35,11 +35,27 @@ __all__ = [
     "supports_full_step",
 ]
 
-# Measured on the v5e headline (n=651264, k=32, pipe_pr full step):
-# tile 4096 = 0.2674 ms/iter vs 2048 = 0.3284 (-18.6%) — the larger tile
-# both sustains more HBM bandwidth (pallas_ceiling.json: 597.6 vs 560.2
-# GB/s) and halves the per-tile halo-piece overhead fraction.
+# Measured on the v5e headline (k=32, pipe_pr full step, benchmarks/
+# tile_scan.json): 2048 = 0.3284, 4096 = 0.2674, 8192 = 0.2450,
+# 16384 = 0.2471 ms/iter — larger tiles sustain more HBM bandwidth
+# (pallas_ceiling.json) and amortize the fixed 1024-element halo pieces.
 DEFAULT_TILE = 4096
+
+#: preference order for :func:`pick_tile` (best-measured first)
+_TILE_CHOICES = (8192, 4096, 2048, 1024)
+
+
+def pick_tile(n: int, default: int = DEFAULT_TILE) -> int:
+    """Largest well-measured tile that divides ``n`` with >= 2 tiles.
+
+    The full-step kernels need ``n % tile == 0`` (no pad copy on the hot
+    path), so the best tile is size-dependent; fall back to ``default``
+    (the caller's supports check will then reject ragged n).
+    """
+    for t in _TILE_CHOICES:
+        if n % t == 0 and n // t >= 2:
+            return t
+    return default
 
 
 def _round_up(x: int, m: int) -> int:

@@ -39,7 +39,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["RowShardContext", "ColShardContext", "EllRowShardContext"]
+__all__ = [
+    "RowShardContext",
+    "ColShardContext",
+    "EllRowShardContext",
+    "BlockBandedRowShardContext",
+]
 
 
 def _psum_batch(pairs, axis, compensated=False):
@@ -304,6 +309,64 @@ class EllRowShardContext(_MeshContext):
         g = cache[self.local_idx]  # (m, L, 2)
         out = jnp.sum(self.local_val[:, :, None] * g, axis=1)
         return out[:, 0], out[:, 1]
+
+
+class BlockBandedRowShardContext(_MeshContext):
+    """Row-partitioned block-banded (MXU-path) operator on a mesh axis.
+
+    Distributes :class:`~..ops.block_banded.BlockBandedOperator` — the
+    framework's general-sparse answer (RCM reorder + block-tridiagonal
+    packing, SpMV = batched MXU matmul) — the way PETSc distributes its
+    general ``mpiaij`` matrices under the overlapped hot loop
+    (``cg_impls/pipeprcg.c:162-170``): each device owns a contiguous
+    range of BLOCK rows (``local_blk`` of shape ``(nb_local, bs, 3*bs)``)
+    and the matching ``(nb_local * bs,)`` slice of every vector.  The
+    block-tridiagonal coupling means the SpMV halo is exactly ONE
+    bs-wide block from each neighbor — two non-circular ``ppermute``
+    hops over the ICI ring, O(bs) traffic per device independent of n.
+    """
+
+    def __init__(self, local_blk, axis, precond=None, compensated=False):
+        self.local_blk = local_blk  # (nb_local, bs, 3*bs)
+        self.axis = axis
+        self.precond = precond
+        self.compensated = compensated
+
+    @property
+    def bs(self) -> int:
+        return self.local_blk.shape[1]
+
+    def _halo_extend(self, v):
+        """[left block | v | right block]; edges get zeros (= the
+        operator's zero end-blocks)."""
+        bs = self.bs
+        p = lax.axis_size(self.axis)
+        left = lax.ppermute(v[-bs:], self.axis,
+                            [(d, d + 1) for d in range(p - 1)])
+        right = lax.ppermute(v[:bs], self.axis,
+                             [(d + 1, d) for d in range(p - 1)])
+        return jnp.concatenate([left, v, right], axis=0)
+
+    def _windows(self, vext):
+        """(nb_local, 3*bs[, k]) sliding block windows of the extended v."""
+        nb_local, bs = self.local_blk.shape[0], self.bs
+        tail = vext.shape[1:]
+        vp = vext.reshape((nb_local + 2, bs) + tail)
+        return jnp.concatenate([vp[:-2], vp[1:-1], vp[2:]], axis=1)
+
+    def mv(self, v):
+        win = self._windows(self._halo_extend(v))
+        y = jnp.einsum("nij,nj->ni", self.local_blk, win,
+                       preferred_element_type=v.dtype)
+        return y.reshape(-1)
+
+    def mv2(self, v, w):
+        vw = jnp.stack([v, w], axis=1)  # ONE halo exchange for both RHS
+        win = self._windows(self._halo_extend(vw))  # (nb_local, 3bs, 2)
+        y = jnp.einsum("nij,njk->nik", self.local_blk, win,
+                       preferred_element_type=v.dtype)
+        y = y.reshape(-1, 2)
+        return y[:, 0], y[:, 1]
 
 
 class ColShardContext(_MeshContext):

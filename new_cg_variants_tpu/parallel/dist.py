@@ -24,11 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.block_banded import BlockBandedOperator
 from ..ops.operators import DenseOperator, DiaOperator, EllOperator
 from ..probes.probes import resolve_probes
 from ..solvers.api import SolveResult, _compute_x_true, _resolve
 from ..solvers.engine import history_scan, tolerance_loop
-from .contexts import ColShardContext, EllRowShardContext, RowShardContext
+from .contexts import (
+    BlockBandedRowShardContext,
+    ColShardContext,
+    EllRowShardContext,
+    RowShardContext,
+)
 
 __all__ = ["make_mesh", "dist_run", "dist_solve", "initialize_multihost"]
 
@@ -119,10 +125,16 @@ def initialize_multihost(**kwargs):
 
 
 def _check_partition(op, partition):
+    from ..ops.block_banded import BlockBandedOperator
+
+    row_types = (DiaOperator, EllOperator, BlockBandedOperator)
     if partition == "auto":
-        partition = "row" if isinstance(op, (DiaOperator, EllOperator)) else "col"
-    if partition == "row" and not isinstance(op, (DiaOperator, EllOperator)):
-        raise TypeError("row partition requires a DiaOperator or EllOperator")
+        partition = "row" if isinstance(op, row_types) else "col"
+    if partition == "row" and not isinstance(op, row_types):
+        raise TypeError(
+            "row partition requires a DiaOperator, EllOperator or "
+            "BlockBandedOperator"
+        )
     if partition == "col" and not isinstance(op, (DenseOperator, DiaOperator)):
         raise TypeError("col partition requires a dense-representable operator")
     return partition
@@ -166,6 +178,18 @@ def _local_ctx_factory(op, partition, mesh, precond, compensated=False,
             return EllRowShardContext(local[0], local[1], AXIS, prec_local,
                                       compensated=compensated,
                                       shifts=shifts, send_idx=send)
+    elif partition == "row" and isinstance(op, BlockBandedOperator):
+        # block-banded a_blk is (nb, bs, 3bs) — shard block rows; each
+        # device's halo is ONE bs-wide block per neighbor (ppermute)
+        nb = op.a_blk.shape[0]
+        if nb % p:
+            raise ValueError(
+                f"nb={nb} block rows must be divisible by mesh size {p}"
+            )
+        mat_operand, mat_spec = op.a_blk, P(AXIS, None, None)
+        def build_mat_ctx(local, prec_local):
+            return BlockBandedRowShardContext(local, AXIS, prec_local,
+                                              compensated=compensated)
     elif partition == "row":
         # DIA data is (ndiags, n), row-indexed — shard columns (= matrix rows)
         mat_operand, mat_spec = op.data, P(None, AXIS)

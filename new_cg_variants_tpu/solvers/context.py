@@ -140,9 +140,9 @@ class Context:
 
         if not isinstance(self.op, DiaOperator):
             return None
-        from ..ops.fused_step import DEFAULT_TILE, supports_full_step
+        from ..ops.fused_step import pick_tile, supports_full_step
 
-        tile = int(os.environ.get("NCGV_FUSED_TILE", 0)) or DEFAULT_TILE
+        tile = int(os.environ.get("NCGV_FUSED_TILE", 0)) or pick_tile(n)
         if self.op.data.shape[1] != n or not supports_full_step(
             self.op.offsets, n, tile
         ):
@@ -269,13 +269,13 @@ class Context:
         if not isinstance(self.op, DiaOperator):
             return None
         from ..ops.fused_step import (
-            DEFAULT_TILE,
             fused_pipe_full_step_prec,
+            pick_tile,
             supports_full_step,
         )
 
         n = s_["x"].shape[0]
-        tile = int(os.environ.get("NCGV_FUSED_TILE", 0)) or DEFAULT_TILE
+        tile = int(os.environ.get("NCGV_FUSED_TILE", 0)) or pick_tile(n)
         if self.op.data.shape[1] != n or not supports_full_step(
             self.op.offsets, n, tile
         ):

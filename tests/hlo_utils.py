@@ -122,6 +122,31 @@ def compiled_step_hlo(family, partition, *, n=1024, k=4, pdev=4, ctx_kwargs=None
             ctx = RowShardContext(op.offsets, local, AXIS, **ctx_kwargs)
             ctx.extra_norm = extra_norm
             return ctx
+    elif partition == "block":
+        # block-banded (MXU general-sparse) row partition
+        import numpy as np
+
+        from new_cg_variants_tpu.matio.matrix_market import CooMatrix
+        from new_cg_variants_tpu.ops.block_banded import (
+            block_banded_from_coo,
+        )
+        from new_cg_variants_tpu.parallel.contexts import (
+            BlockBandedRowShardContext,
+        )
+
+        coo = op.tocsr().tocoo()
+        cm = CooMatrix((n, n), np.asarray(coo.row), np.asarray(coo.col),
+                       np.asarray(coo.data))
+        bop, _ = block_banded_from_coo(cm, dtype=jnp.float64, reorder=None)
+        assert bop.a_blk.shape[0] % pdev == 0, "pick n so nb % pdev == 0"
+        b = jnp.zeros(bop.n, b.dtype).at[: len(b)].set(jnp.asarray(b))
+        mat_operand, mat_spec = bop.a_blk, P(AXIS, None, None)
+        sd_op = bop
+
+        def build(local):
+            ctx = BlockBandedRowShardContext(local, AXIS, **ctx_kwargs)
+            ctx.extra_norm = extra_norm
+            return ctx
     else:
         mat_operand, mat_spec = op.todense(), P(None, AXIS)
         sd_op = DenseOperator(mat_operand)

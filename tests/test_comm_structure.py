@@ -116,3 +116,20 @@ def test_pipe_pr_single_halo_exchange_per_step():
     cp = count_ops(hlo, "collective-permute")
     # one halo exchange = 2 directional ppermutes (left + right)
     assert cp == 2, f"expected 2 collective-permutes (one exchange), got {cp}"
+
+
+@pytest.mark.parametrize("family", ["hs", "pr", "pipe_pr"])
+def test_block_banded_row_partition_counts(family):
+    """Distributed block-banded (general-sparse MXU path): the family's
+    all-reduce count is unchanged and the block-halo exchange is ONE
+    ppermute pair per matvec phase — pipe-PR's two matvecs share it
+    (fused 2-RHS), the distributed analog of PETSc's mpiaij MatMult
+    under the overlapped hot loop (cg_impls/pipeprcg.c:162-170)."""
+    hlo = compiled_step_hlo(family, "block", n=N, k=K, pdev=PDEV)
+    ar = count_ops(hlo, "all-reduce")
+    cp = count_ops(hlo, "collective-permute")
+    assert ar == EXPECTED_SYNCS[family], f"{family}: {ar} all-reduces"
+    # every family runs ONE matvec phase per iteration here (pipe-PR's
+    # two matvecs share the exchange via the fused 2-RHS stack), and one
+    # block-halo exchange = 2 directional ppermutes (left + right)
+    assert cp == 2, f"{family}: {cp} collective-permutes"

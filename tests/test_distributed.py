@@ -232,3 +232,43 @@ def test_ell_dist_run_via_planned_exchange(mesh):
         dist["updated_residual_2_norm"][:10],
         single["updated_residual_2_norm"][:10], rtol=1e-9,
     )
+
+
+def _block_banded_fixture(n=2048, k=8):
+    import scipy.sparse as sp
+
+    from new_cg_variants_tpu.matio.matrix_market import CooMatrix
+    from new_cg_variants_tpu.ops.block_banded import block_banded_from_coo
+
+    op, b, x_true = cgt.banded_model(n, k=k, kappa=1e4)
+    coo = op.tocsr().tocoo()
+    cm = CooMatrix((n, n), np.asarray(coo.row), np.asarray(coo.col),
+                   np.asarray(coo.data))
+    bop, perm = block_banded_from_coo(cm, dtype=np.float64, reorder=None)
+    assert bop.n == n  # n divisible by bs: no pad rows in this fixture
+    return bop, np.asarray(b), x_true
+
+
+@pytest.mark.parametrize("variant", ["hs_cg", "pr_cg", "pipe_pr_cg"])
+def test_block_banded_row_partition_matches_single_device(variant, mesh):
+    """Distributed block-banded operator (general-sparse MXU path)
+    reproduces the single-device history — the mpiaij-analog parity
+    check for the framework's restructured general-sparse answer."""
+    bop, b, _ = _block_banded_fixture()
+    out = dist_run(variant, bop, b, mesh=mesh, max_iter=30,
+                   probes=("updated_residual_2_norm",), dtype=np.float64)
+    ref = cgt.run(variant, bop, b, max_iter=30,
+                  probes=("updated_residual_2_norm",), dtype=np.float64)
+    np.testing.assert_allclose(
+        out["updated_residual_2_norm"], ref["updated_residual_2_norm"],
+        rtol=1e-11,
+    )
+
+
+def test_block_banded_dist_solve_forward_error(mesh):
+    bop, b, x_true = _block_banded_fixture(n=2048, k=8)
+    res = dist_solve(bop, b, variant="pipe_pr_cg", mesh=mesh, rtol=1e-10,
+                     max_iter=4000, dtype=np.float64)
+    assert res.converged
+    err = np.linalg.norm(np.asarray(res.x) - x_true)
+    assert err < 1e-5, f"forward error {err:.2e}"
