@@ -28,9 +28,14 @@ import time
 N = 655_360
 K_BAND = 32
 # 2 x 5000 chained iterations: per-dispatch tunnel latency (can be
-# seconds, fluctuating) amortizes to <0.05 ms/iter of noise
+# seconds, fluctuating) amortizes to <0.05 ms/iter of noise.  The timed
+# region is additionally repeated TRIALS times and the minimum taken —
+# the reference's own reduction (scaling_plots.py:53) and the only
+# robust stance against the tunnel's occasional multi-second stalls
+# (one stall once inflated a run from 0.245 to 5.76 ms/iter).
 ITERS_PER_CHUNK = 5000
 REPEATS = 2
+TRIALS = 3
 BASELINE_MS_PER_ITER = 46.77 / 4000 * 1000  # PETSc pipeprcg, 1 node, min over trials
 
 
@@ -76,17 +81,26 @@ def main():
     # fetch of the final scalar forces the whole chain to really complete
     # (block_until_ready alone does not synchronize through remote-device
     # tunnels).  The one scalar fetch amortizes over REPEATS*ITERS iters.
-    t0 = time.perf_counter()
+    times = []
     s = state
-    for _ in range(REPEATS):
-        s = chunk(op.data, s)
-    nu_final = float(np.asarray(s["nu"]))
-    dt = time.perf_counter() - t0
+    while len(times) < 8:
+        t0 = time.perf_counter()
+        for _ in range(REPEATS):
+            s = chunk(op.data, s)
+        nu_final = float(np.asarray(s["nu"]))
+        times.append(time.perf_counter() - t0)
+        # stop once the two fastest trials agree within 5% (stable
+        # window) after the minimum TRIALS count
+        if len(times) >= TRIALS:
+            t1, t2 = sorted(times)[:2]
+            if t2 <= 1.05 * t1:
+                break
+    best = min(times)
 
     # sanity: the solve must actually be converging (finite recurrence norm)
     assert np.isfinite(nu_final), "diverged"
 
-    ms_per_iter = dt / (REPEATS * ITERS_PER_CHUNK) * 1e3
+    ms_per_iter = best / (REPEATS * ITERS_PER_CHUNK) * 1e3
     print(
         json.dumps(
             {

@@ -34,7 +34,7 @@ def _fetch(x):
     return float(np.asarray(x))
 
 
-def time_fixed_iters(variant, op, b, iters, chunks=2):
+def time_fixed_iters(variant, op, b, iters, chunks=2, trials=3):
     """Steady-state ms/iter via chained solve calls + final host fetch.
 
     ONE compiled program per variant (init + fori_loop in the same jit)
@@ -42,6 +42,12 @@ def time_fixed_iters(variant, op, b, iters, chunks=2):
     wall time.  Chaining feeds each call a distinct right-hand side
     (the previous solution) so no layer can serve a cached execution;
     init adds ~3 matvecs, amortized over ``iters``.
+
+    ``trials``: the whole chunk set is timed ``trials`` times and the
+    MINIMUM taken — the reference's own reduction
+    (``scaling_plots.py:53``), and the only robust stance against the
+    tunnel's seconds-scale stalls (one stall inflated a full suite run
+    ~2x in round 3 before this).
     """
     import jax
     import jax.numpy as jnp
@@ -66,17 +72,19 @@ def time_fixed_iters(variant, op, b, iters, chunks=2):
 
     s = run_iters(op, b)
     _fetch(s["nu"])  # compile + warm
-    t0 = time.perf_counter()
+    best = float("inf")
     bb = b
-    for _ in range(chunks):
-        s = run_iters(op, bb)
-        bb = s["r"]  # distinct rhs each call
-    _fetch(s["nu"])
-    dt = time.perf_counter() - t0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(chunks):
+            s = run_iters(op, bb)
+            bb = s["r"]  # distinct rhs each call
+        _fetch(s["nu"])
+        best = min(best, time.perf_counter() - t0)
     # the timed state solves a perturbed rhs; re-derive x-error from a
     # fresh warm call on the true rhs
     s_true = run_iters(op, b)
-    return dt / (chunks * iters), s_true
+    return best / (chunks * iters), s_true
 
 
 def main(argv=None):

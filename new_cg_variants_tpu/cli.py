@@ -137,6 +137,7 @@ def cmd_convergence(args):
         table_variants=None if not args.variants else variants,
         data_dir=args.data_dir, fig_dir=args.fig_dir,
         include_exact=args.exact, make_plots=not args.no_plots,
+        resume=args.resume,
     )
     print(f"completed {len(done)} configs")
     return 0
@@ -205,6 +206,8 @@ def main(argv=None):
     pc.add_argument("--no-plots", action="store_true")
     pc.add_argument("--max-iter-cap", type=int, default=0,
                     help="cap per-config max_iter (quick runs)")
+    pc.add_argument("--resume", action="store_true",
+                    help="skip variants whose trial file already exists")
     pc.set_defaults(fn=cmd_convergence)
 
     pg = sub.add_parser("scaling", help="strong-scaling harness")

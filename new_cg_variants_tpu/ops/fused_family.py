@@ -59,6 +59,9 @@ __all__ = [
     "fused_cgcg_matvec_phase",
     "fused_gv_matvec_phase",
     "fused_hs_matvec_phase",
+    "fused_pr_full_step_prec",
+    "fused_cgcg_matvec_phase_prec",
+    "fused_gv_matvec_phase_prec",
     "supports_full_step",
 ]
 
@@ -82,10 +85,10 @@ def _pr_update(sc, x, r, p, s):
     return (x2, r2, p2), p2
 
 
-def _pr_dots(outs, s2):
+def _pr_finish(sc, outs, s2, vecs):
     _, r2, p2 = outs
     # mu = p.s, delta = r.s, gamma = s.s, nu = r.r  (families.make_pr_step)
-    return (p2 * s2, r2 * s2, s2 * s2, r2 * r2)
+    return (), (p2 * s2, r2 * s2, s2 * s2, r2 * r2)
 
 
 def _cgcg_update(sc, x, r, p, s):
@@ -95,10 +98,10 @@ def _cgcg_update(sc, x, r, p, s):
     return (x2, r2), r2
 
 
-def _cgcg_dots(outs, w2):
+def _cgcg_finish(sc, outs, w2, vecs):
     _, r2 = outs
     # nu = r.r, eta = w.r  (families.cgcg_step)
-    return (r2 * r2, w2 * r2)
+    return (), (r2 * r2, w2 * r2)
 
 
 def _gv_update(sc, x, r, w, u, p, s):
@@ -109,9 +112,9 @@ def _gv_update(sc, x, r, w, u, p, s):
     return (x2, r2, w2), w2
 
 
-def _gv_dots(outs, _t):
+def _gv_finish(sc, outs, _t, vecs):
     _, r2, w2 = outs
-    return (r2 * r2, w2 * r2)
+    return (), (r2 * r2, w2 * r2)
 
 
 def _hs_update(sc, r, p):
@@ -120,9 +123,62 @@ def _hs_update(sc, r, p):
     return (p2,), p2
 
 
-def _hs_dots(outs, s2):
+def _hs_finish(sc, outs, s2, vecs):
     (p2,) = outs
-    return (p2 * s2,)
+    return (), (p2 * s2,)
+
+
+# --- Jacobi-preconditioned twins: the inverse diagonal rides as the
+# --- first "vector" input (elementwise, so slivers work unchanged);
+# --- PCApply of the SpMV result happens in finish, still in-kernel —
+# --- the PETSc MatMult+PCApply hot region as literally one pass
+# --- (cg_impls/prcg.c:122-137 with PCJACOBI).
+
+
+def _pr_prec_update(sc, d, x, r, p, s, rt, st):
+    a1, beta = sc[0], sc[1]
+    x2 = x + a1 * p
+    r2 = r - a1 * s
+    rt2 = rt - a1 * st
+    p2 = rt2 + beta * p
+    return (x2, r2, rt2, p2), p2
+
+
+def _pr_prec_finish(sc, outs, s2, vecs):
+    d = vecs[0]
+    _, r2, rt2, p2 = outs
+    st2 = d * s2
+    # mu = p.s, delta = r.st, gamma = st.s, nu = rt.r
+    return (st2,), (p2 * s2, r2 * st2, st2 * s2, rt2 * r2)
+
+
+def _cgcg_prec_update(sc, d, x, r, p, s):
+    a1 = sc[0]
+    x2 = x + a1 * p
+    r2 = r - a1 * s
+    rt2 = d * r2
+    return (x2, r2, rt2), rt2
+
+
+def _cgcg_prec_finish(sc, outs, w2, vecs):
+    _, r2, rt2 = outs
+    # nu = r.rt, eta = w.rt
+    return (), (r2 * rt2, w2 * rt2)
+
+
+def _gv_prec_update(sc, d, x, r, w, u, p, s, rt, st):
+    a1 = sc[0]
+    x2 = x + a1 * p
+    r2 = r - a1 * s
+    rt2 = rt - a1 * st
+    w2 = w - a1 * u
+    wt2 = d * w2
+    return (x2, r2, rt2, w2, wt2), wt2
+
+
+def _gv_prec_finish(sc, outs, _t, vecs):
+    _, r2, rt2, w2, _wt2 = outs
+    return (), (r2 * rt2, w2 * rt2)
 
 
 # ---------------------------------------------------------------------------
@@ -130,17 +186,16 @@ def _hs_dots(outs, s2):
 # ---------------------------------------------------------------------------
 
 
-def _family_kernel(update, dots_fn, nvec, offsets, tile, piece,
+def _family_kernel(update, finish, nvec, offsets, tile, piece,
                    data_ref, *refs):
     vec_refs = refs[:nvec]
     lo_ref, hi_ref, ab_ref = refs[nvec], refs[nvec + 1], refs[nvec + 2]
     out_refs = refs[nvec + 3:]
-    mv_o, dots_o = out_refs[-2], out_refs[-1]
+    dots_o = out_refs[-1]
 
     sc = tuple(ab_ref[i] for i in range(2))
-    outs, mv_in = update(sc, *(v[:] for v in vec_refs))
-    for o_ref, val in zip(out_refs[:-2], outs):
-        o_ref[:] = val
+    vecs = tuple(v[:] for v in vec_refs)
+    outs, mv_in = update(sc, *vecs)
 
     win = jnp.concatenate([lo_ref[:], mv_in, hi_ref[:]])
     o0 = offsets[0]
@@ -148,21 +203,32 @@ def _family_kernel(update, dots_fn, nvec, offsets, tile, piece,
     for d in range(1, len(offsets)):
         o = offsets[d]
         acc = acc + data_ref[d, :] * win[piece + o : piece + o + tile]
-    mv_o[:] = acc
+
+    # post-matvec elementwise outputs (e.g. Jacobi PCApply of the SpMV
+    # result) + the iteration's dot products — all still in-kernel
+    extra, prods = finish(sc, outs, acc, vecs)
+    for o_ref, val in zip(out_refs[:-1], tuple(outs) + (acc,) + tuple(extra)):
+        o_ref[:] = val
 
     def lanes(prod):
         return jnp.sum(prod.reshape(-1, 128), axis=0)
 
-    prods = dots_fn(outs, acc)
     zero = jnp.zeros_like(acc, shape=(128,))
     dots_o[0] = jnp.stack(
         [lanes(p) for p in prods] + [zero] * (8 - len(prods))
     )
 
 
-def _run_family(update, dots_fn, offsets, data, vecs, scalars, nout,
+def _run_family(update, finish, offsets, data, vecs, scalars, nout,
                 ndots, tile, interpret, extra_flops):
-    """Shared wrapper: halo slivers -> pallas_call -> (outs, mv, dots)."""
+    """Shared wrapper: halo slivers -> pallas_call -> (outs, dots).
+
+    ``vecs`` may include elementwise coefficient arrays (e.g. the Jacobi
+    inverse diagonal) — ``update`` is applied to boundary slivers of ALL
+    of them, so any input the matvec operand's update reads must be in
+    the list.  ``nout`` counts ALL vector outputs: update outs + the
+    matvec result + finish extras, in that order.
+    """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -192,7 +258,7 @@ def _run_family(update, dots_fn, offsets, data, vecs, scalars, nout,
     vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
     halo_spec = pl.BlockSpec((piece,), lambda i: (i,), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_family_kernel, update, dots_fn, nvec,
+        functools.partial(_family_kernel, update, finish, nvec,
                           tuple(offsets), tile, piece),
         grid=(nt,),
         in_specs=[
@@ -202,10 +268,10 @@ def _run_family(update, dots_fn, offsets, data, vecs, scalars, nout,
         + [vec_spec] * nvec
         + [halo_spec] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[vec_spec] * (nout + 1)
+        out_specs=[vec_spec] * nout
         + [pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((n,), dtype)] * (nout + 1)
+        out_shape=[jax.ShapeDtypeStruct((n,), dtype)] * nout
         + [jax.ShapeDtypeStruct((nt, 8, 128), dtype)],
         cost_estimate=pl.CostEstimate(
             flops=(2 * ndiags + extra_flops) * n,
@@ -217,7 +283,7 @@ def _run_family(update, dots_fn, offsets, data, vecs, scalars, nout,
         ),
         interpret=interpret,
     )(data, *vecs, lo, hi, ab)
-    vec_outs = outs[: nout + 1]
+    vec_outs = outs[:nout]
     dots = jnp.sum(outs[-1], axis=(0, 2))
     return vec_outs, tuple(dots[i] for i in range(ndots))
 
@@ -234,8 +300,8 @@ def fused_pr_full_step(offsets, data, x, r, p, s, a1, beta, *,
     (``numerical_experiments/cg_variants/pr_cg.py:61-72``).
     """
     (x2, r2, p2, s2), dots = _run_family(
-        _pr_update, _pr_dots, offsets, data, (x, r, p, s), (a1, beta),
-        nout=3, ndots=4, tile=tile, interpret=interpret, extra_flops=14,
+        _pr_update, _pr_finish, offsets, data, (x, r, p, s), (a1, beta),
+        nout=4, ndots=4, tile=tile, interpret=interpret, extra_flops=14,
     )
     return x2, r2, p2, s2, dots
 
@@ -251,8 +317,8 @@ def fused_cgcg_matvec_phase(offsets, data, x, r, p, s, a1, *,
     need beta = nu/nu1 and stay outside.
     """
     (x2, r2, w2), dots = _run_family(
-        _cgcg_update, _cgcg_dots, offsets, data, (x, r, p, s), (a1,),
-        nout=2, ndots=2, tile=tile, interpret=interpret, extra_flops=8,
+        _cgcg_update, _cgcg_finish, offsets, data, (x, r, p, s), (a1,),
+        nout=3, ndots=2, tile=tile, interpret=interpret, extra_flops=8,
     )
     return x2, r2, w2, dots
 
@@ -267,8 +333,8 @@ def fused_gv_matvec_phase(offsets, data, x, r, w, u, p, s, a1, *,
     (``cg_variants/gv_cg.py:51-75``); p,s,u AXPYs stay outside (beta).
     """
     (x2, r2, w2, t), dots = _run_family(
-        _gv_update, _gv_dots, offsets, data, (x, r, w, u, p, s), (a1,),
-        nout=3, ndots=2, tile=tile, interpret=interpret, extra_flops=10,
+        _gv_update, _gv_finish, offsets, data, (x, r, w, u, p, s), (a1,),
+        nout=4, ndots=2, tile=tile, interpret=interpret, extra_flops=10,
     )
     return x2, r2, w2, t, dots
 
@@ -283,7 +349,60 @@ def fused_hs_matvec_phase(offsets, data, r, p, beta, *,
     pass (``cg_variants/hs_cg.py:36-60``).
     """
     (p2, s2), dots = _run_family(
-        _hs_update, _hs_dots, offsets, data, (r, p), (beta,),
-        nout=1, ndots=1, tile=tile, interpret=interpret, extra_flops=4,
+        _hs_update, _hs_finish, offsets, data, (r, p), (beta,),
+        nout=2, ndots=1, tile=tile, interpret=interpret, extra_flops=4,
     )
     return p2, s2, dots
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile", "interpret"))
+def fused_pr_full_step_prec(offsets, data, inv_diag, x, r, p, s, rt, st,
+                            a1, beta, *, tile=DEFAULT_TILE, interpret=None):
+    """One fused Jacobi-preconditioned PR/Meurant-CG iteration body.
+
+    ``(x2, r2, rt2, p2, s2, st2, (mu, delta, gamma, nu))`` with
+    ``s2 = A p2`` and ``st2 = M^-1 s2`` computed IN the same pass — the
+    MatMult+PCApply region of the PETSc KSPPRCG hot loop
+    (``cg_impls/prcg.c:122-137``) as one kernel.
+    """
+    (x2, r2, rt2, p2, s2, st2), dots = _run_family(
+        _pr_prec_update, _pr_prec_finish, offsets, data,
+        (inv_diag, x, r, p, s, rt, st), (a1, beta),
+        nout=6, ndots=4, tile=tile, interpret=interpret, extra_flops=20,
+    )
+    return x2, r2, rt2, p2, s2, st2, dots
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile", "interpret"))
+def fused_cgcg_matvec_phase_prec(offsets, data, inv_diag, x, r, p, s, a1,
+                                 *, tile=DEFAULT_TILE, interpret=None):
+    """Fused Jacobi-preconditioned Chronopoulos-Gear matvec phase.
+
+    ``(x2, r2, rt2, w2, (nu, eta))`` with ``rt2 = M^-1 r2`` and
+    ``w2 = A rt2`` (``cg_variants/cg_cg.py:77-146`` preconditioned
+    body); the p,s AXPYs (need beta) stay outside.
+    """
+    (x2, r2, rt2, w2), dots = _run_family(
+        _cgcg_prec_update, _cgcg_prec_finish, offsets, data,
+        (inv_diag, x, r, p, s), (a1,),
+        nout=4, ndots=2, tile=tile, interpret=interpret, extra_flops=12,
+    )
+    return x2, r2, rt2, w2, dots
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile", "interpret"))
+def fused_gv_matvec_phase_prec(offsets, data, inv_diag, x, r, w, u, p, s,
+                               rt, st, a1, *, tile=DEFAULT_TILE,
+                               interpret=None):
+    """Fused Jacobi-preconditioned GV matvec phase.
+
+    ``(x2, r2, rt2, w2, wt2, t, (nu, eta))`` with ``wt2 = M^-1 w2`` and
+    ``t = A wt2`` (``cg_variants/gv_cg.py:89-176`` preconditioned body);
+    p,s,u,st AXPYs stay outside.
+    """
+    (x2, r2, rt2, w2, wt2, t), dots = _run_family(
+        _gv_prec_update, _gv_prec_finish, offsets, data,
+        (inv_diag, x, r, w, u, p, s, rt, st), (a1,),
+        nout=6, ndots=2, tile=tile, interpret=interpret, extra_flops=16,
+    )
+    return x2, r2, rt2, w2, wt2, t, dots

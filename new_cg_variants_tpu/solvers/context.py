@@ -112,13 +112,16 @@ class Context:
             return fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta)
         return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
 
-    def _dia_full_fused_ok(self, n):
+    def _dia_full_fused_ok(self, n, allow_prec=False):
         """Shared qualification for the whole-iteration DIA fusions.
 
-        Returns ``(tile, interpret)`` when the unpreconditioned fused
-        full-step kernels apply, else ``None``.  ``NCGV_FULL_FUSED=0``
-        disables; ``=1`` forces them off-TPU (interpret mode, for
-        tests); ``NCGV_FUSED_TILE`` overrides the kernel tile.
+        Returns ``(tile, interpret)`` when the fused full-step kernels
+        apply, else ``None``.  ``allow_prec`` lifts the unpreconditioned
+        requirement (used by hooks that either fuse the Jacobi PCApply
+        in-kernel or don't touch the preconditioner at all).
+        ``NCGV_FULL_FUSED=0`` disables; ``=1`` forces them off-TPU
+        (interpret mode, for tests); ``NCGV_FUSED_TILE`` overrides the
+        kernel tile.
         """
         import os
 
@@ -128,7 +131,7 @@ class Context:
         if (
             mode == "0"
             or self.compensated
-            or self.has_prec
+            or (self.has_prec and not allow_prec)
             or getattr(self, "extra_norm", None) is not None
             or os.environ.get("NCGV_DISABLE_PALLAS")
         ):
@@ -220,17 +223,73 @@ class Context:
             a1, tile=tile, interpret=interpret,
         )
 
-    def hs_matvec_phase(self, r, p, beta):
-        """Fused HS second sync phase: p update + s = A p + mu partial."""
-        ok = self._dia_full_fused_ok(r.shape[0])
+    def hs_matvec_phase(self, rt, p, beta):
+        """Fused HS second sync phase: p update + s = A p + mu partial.
+
+        Takes the (preconditioned) residual directly, so it serves both
+        hs_cg (rt = r) and hs_pcg with ANY preconditioner — HS's second
+        phase never touches M.
+        """
+        ok = self._dia_full_fused_ok(rt.shape[0], allow_prec=True)
         if ok is None:
             return None
         tile, interpret = ok
         from ..ops.fused_family import fused_hs_matvec_phase
 
         return fused_hs_matvec_phase(
-            self.op.offsets, self.op.data, r, p, beta,
+            self.op.offsets, self.op.data, rt, p, beta,
             tile=tile, interpret=interpret,
+        )
+
+    def _jacobi_fused_ok(self, n):
+        """Prec-family gate: qualification + Jacobi preconditioner."""
+        from .precond import JacobiPreconditioner
+
+        if not isinstance(self.precond, JacobiPreconditioner):
+            return None
+        return self._dia_full_fused_ok(n, allow_prec=True)
+
+    def pr_full_step_prec(self, s_, a1, beta):
+        """Whole-iteration Jacobi-preconditioned PR/M fusion (one pass,
+        PCApply included — prcg.c:122-137 with PCJACOBI)."""
+        ok = self._jacobi_fused_ok(s_["x"].shape[0])
+        if ok is None:
+            return None
+        tile, interpret = ok
+        from ..ops.fused_family import fused_pr_full_step_prec
+
+        return fused_pr_full_step_prec(
+            self.op.offsets, self.op.data, self.precond.inv_diag,
+            s_["x"], s_["r"], s_["p"], s_["s"], s_["rt"], s_["st"],
+            a1, beta, tile=tile, interpret=interpret,
+        )
+
+    def cgcg_matvec_phase_prec(self, s_, a1):
+        """Fused Jacobi-prec CG matvec phase (PCApply in-kernel)."""
+        ok = self._jacobi_fused_ok(s_["x"].shape[0])
+        if ok is None:
+            return None
+        tile, interpret = ok
+        from ..ops.fused_family import fused_cgcg_matvec_phase_prec
+
+        return fused_cgcg_matvec_phase_prec(
+            self.op.offsets, self.op.data, self.precond.inv_diag,
+            s_["x"], s_["r"], s_["p"], s_["s"], a1,
+            tile=tile, interpret=interpret,
+        )
+
+    def gv_matvec_phase_prec(self, s_, a1):
+        """Fused Jacobi-prec GV matvec phase (PCApply in-kernel)."""
+        ok = self._jacobi_fused_ok(s_["x"].shape[0])
+        if ok is None:
+            return None
+        tile, interpret = ok
+        from ..ops.fused_family import fused_gv_matvec_phase_prec
+
+        return fused_gv_matvec_phase_prec(
+            self.op.offsets, self.op.data, self.precond.inv_diag,
+            s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+            s_["rt"], s_["st"], a1, tile=tile, interpret=interpret,
         )
 
     def pipe_full_step_prec(self, s_, a1, beta, recompute):

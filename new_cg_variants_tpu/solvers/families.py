@@ -102,11 +102,12 @@ def hs_step(ctx, s_):
     beta = nu / s_["nu"]
     # second sync phase fused (p update + SpMV + mu partial in one Pallas
     # pass) when the context/operator qualifies — cf. the always-fused
-    # PETSc hot loop (cg_impls/cg.c); update order identical
+    # PETSc hot loop (cg_impls/cg.c); update order identical.  The phase
+    # never touches M, so it serves hs_pcg (rt input) too.
     fused = None
-    if not ctx.has_prec and not extra:
+    if not extra:
         hook = getattr(ctx, "hs_matvec_phase", None)
-        fused = hook(r, s_["p"], beta) if hook is not None else None
+        fused = hook(rt, s_["p"], beta) if hook is not None else None
     if fused is not None:
         p, s, (mu,) = fused
     else:
@@ -143,21 +144,35 @@ def cgcg_init(ctx, b, x0):
 
 def cgcg_step(ctx, s_):
     a1 = s_["a"]
-    if not ctx.has_prec and getattr(ctx, "extra_norm", None) is None:
-        # fused phase: x,r updates + w = A r + the single sync's nu,eta
-        # partials in one Pallas pass; only the p,s AXPYs (need beta)
-        # stay in XLA.  Update order identical to the generic body.
-        hook = getattr(ctx, "cgcg_matvec_phase", None)
-        fused = hook(s_, a1) if hook is not None else None
-        if fused is not None:
-            x, r, w, (nu, eta) = fused
-            beta = nu / s_["nu"]
-            p = r + beta * s_["p"]  # rt = r (unpreconditioned)
-            s = w + beta * s_["s"]
-            mu = eta - (beta / a1) * nu
-            new = dict(x=x, r=r, w=w, p=p, s=s, nu=nu, eta=eta, mu=mu,
-                       a=nu / mu, b=beta)
-            return _rotate(s_, new)
+    if getattr(ctx, "extra_norm", None) is None:
+        # fused phase: x,r updates + (PCApply +) w = A rt + the single
+        # sync's nu,eta partials in one Pallas pass; only the p,s AXPYs
+        # (need beta) stay in XLA.  Update order identical to the
+        # generic body.
+        if not ctx.has_prec:
+            hook = getattr(ctx, "cgcg_matvec_phase", None)
+            fused = hook(s_, a1) if hook is not None else None
+            if fused is not None:
+                x, r, w, (nu, eta) = fused
+                beta = nu / s_["nu"]
+                p = r + beta * s_["p"]  # rt = r (unpreconditioned)
+                s = w + beta * s_["s"]
+                mu = eta - (beta / a1) * nu
+                new = dict(x=x, r=r, w=w, p=p, s=s, nu=nu, eta=eta, mu=mu,
+                           a=nu / mu, b=beta)
+                return _rotate(s_, new)
+        else:
+            hook = getattr(ctx, "cgcg_matvec_phase_prec", None)
+            fused = hook(s_, a1) if hook is not None else None
+            if fused is not None:
+                x, r, rt, w, (nu, eta) = fused
+                beta = nu / s_["nu"]
+                p = rt + beta * s_["p"]
+                s = w + beta * s_["s"]
+                mu = eta - (beta / a1) * nu
+                new = dict(x=x, r=r, w=w, p=p, s=s, nu=nu, eta=eta, mu=mu,
+                           a=nu / mu, b=beta, rt=rt)
+                return _rotate(s_, new)
     x = s_["x"] + a1 * s_["p"]
     r = s_["r"] - a1 * s_["s"]
     rt = ctx.prec(r)
@@ -221,25 +236,38 @@ def make_gv_step(w_replace=None, stateful=False):
 
     def gv_step(ctx, s_):
         a1 = s_["a"]
-        if (
-            w_replace is None
-            and not ctx.has_prec
-            and getattr(ctx, "extra_norm", None) is None
-        ):
-            # fused phase: x,r,w updates + t = A w + nu,eta partials in
-            # one Pallas pass; p,s,u AXPYs (need beta) stay in XLA.
-            hook = getattr(ctx, "gv_matvec_phase", None)
-            fused = hook(s_, a1) if hook is not None else None
-            if fused is not None:
-                x, r, w, t, (nu, eta) = fused
-                beta = nu / s_["nu"]
-                p = r + beta * s_["p"]  # rt = r (unpreconditioned)
-                s = w + beta * s_["s"]
-                u = t + beta * s_["u"]
-                mu = eta - (beta / a1) * nu
-                new = dict(x=x, r=r, w=w, p=p, s=s, u=u, nu=nu, eta=eta,
-                           mu=mu, a=nu / mu, b=beta)
-                return _rotate(s_, new)
+        if w_replace is None and getattr(ctx, "extra_norm", None) is None:
+            # fused phase: x,r,w updates + (PCApply +) t = A wt + nu,eta
+            # partials in one Pallas pass; p,s,u(,st) AXPYs (need beta)
+            # stay in XLA.
+            if not ctx.has_prec:
+                hook = getattr(ctx, "gv_matvec_phase", None)
+                fused = hook(s_, a1) if hook is not None else None
+                if fused is not None:
+                    x, r, w, t, (nu, eta) = fused
+                    beta = nu / s_["nu"]
+                    p = r + beta * s_["p"]  # rt = r (unpreconditioned)
+                    s = w + beta * s_["s"]
+                    u = t + beta * s_["u"]
+                    mu = eta - (beta / a1) * nu
+                    new = dict(x=x, r=r, w=w, p=p, s=s, u=u, nu=nu,
+                               eta=eta, mu=mu, a=nu / mu, b=beta)
+                    return _rotate(s_, new)
+            else:
+                hook = getattr(ctx, "gv_matvec_phase_prec", None)
+                fused = hook(s_, a1) if hook is not None else None
+                if fused is not None:
+                    x, r, rt, w, wt, t, (nu, eta) = fused
+                    beta = nu / s_["nu"]
+                    p = rt + beta * s_["p"]
+                    s = w + beta * s_["s"]
+                    u = t + beta * s_["u"]
+                    st = wt + beta * s_["st"]
+                    mu = eta - (beta / a1) * nu
+                    new = dict(x=x, r=r, w=w, p=p, s=s, u=u, nu=nu,
+                               eta=eta, mu=mu, a=nu / mu, b=beta,
+                               rt=rt, wt=wt, st=st)
+                    return _rotate(s_, new)
         x = s_["x"] + a1 * s_["p"]
         r = s_["r"] - a1 * s_["s"]
         if ctx.has_prec:
@@ -326,18 +354,30 @@ def make_pr_step(meurant: bool):
         a1 = s_["a"]
         nu_pred = _predict_nu(meurant, s_)
         beta_pred = nu_pred / s_["nu"]
-        if not ctx.has_prec and getattr(ctx, "extra_norm", None) is None:
+        if getattr(ctx, "extra_norm", None) is None:
             # beta is PREDICTED (known at entry), so the whole iteration
-            # fuses into one Pallas pass: x,r,p updates + s = A p + all
-            # 4 sync partials — the PETSc KSPPRCG hot loop as one kernel
-            # (cg_impls/prcg.c:122-137).  Update order identical.
-            hook = getattr(ctx, "pr_full_step", None)
-            fused = hook(s_, a1, beta_pred) if hook is not None else None
-            if fused is not None:
-                x, r, p, s, (mu, delta, gamma, nu) = fused
-                new = dict(x=x, r=r, p=p, s=s, nu=nu, mu=mu, delta=delta,
-                           gamma=gamma, a=nu / mu, b=beta_pred)
-                return _rotate(s_, new)
+            # fuses into one Pallas pass: x,r(,rt) updates + p update +
+            # s = A p (+ st = M^-1 s) + all 4 sync partials — the PETSc
+            # KSPPRCG hot loop as one kernel (cg_impls/prcg.c:122-137).
+            # Update order identical to the generic body below.
+            if not ctx.has_prec:
+                hook = getattr(ctx, "pr_full_step", None)
+                fused = hook(s_, a1, beta_pred) if hook is not None else None
+                if fused is not None:
+                    x, r, p, s, (mu, delta, gamma, nu) = fused
+                    new = dict(x=x, r=r, p=p, s=s, nu=nu, mu=mu,
+                               delta=delta, gamma=gamma, a=nu / mu,
+                               b=beta_pred)
+                    return _rotate(s_, new)
+            else:
+                hook = getattr(ctx, "pr_full_step_prec", None)
+                fused = hook(s_, a1, beta_pred) if hook is not None else None
+                if fused is not None:
+                    x, r, rt, p, s, st_, (mu, delta, gamma, nu) = fused
+                    new = dict(x=x, r=r, p=p, s=s, nu=nu, mu=mu,
+                               delta=delta, gamma=gamma, a=nu / mu,
+                               b=beta_pred, rt=rt, st=st_)
+                    return _rotate(s_, new)
         x = s_["x"] + a1 * s_["p"]
         r = s_["r"] - a1 * s_["s"]
         if ctx.has_prec:

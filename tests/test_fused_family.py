@@ -182,3 +182,125 @@ def test_family_gating(monkeypatch):
     # norm-in-batch rho: generic path only
     ctx.extra_norm = "r"
     assert ctx.hs_matvec_phase(sv["r"], sv["p"], beta) is None
+
+
+# ---------------------------------------------------------------------------
+# Jacobi-preconditioned twins
+# ---------------------------------------------------------------------------
+
+from new_cg_variants_tpu.ops.fused_family import (  # noqa: E402
+    fused_cgcg_matvec_phase_prec,
+    fused_gv_matvec_phase_prec,
+    fused_pr_full_step_prec,
+)
+from new_cg_variants_tpu.solvers.precond import JacobiPreconditioner  # noqa: E402
+
+
+def test_pr_full_step_prec_matches_generic():
+    n, k = 8192, 16
+    op, _, _ = banded_model(n, k=k, kappa=100.0)
+    prec = JacobiPreconditioner.from_operator(op)
+    rng = np.random.default_rng(13)
+    x, r, p, s, rt, st = _vecs(n, rng, 6)
+    a1, beta = jnp.asarray(0.37), jnp.asarray(0.12)
+
+    # generic preconditioned pr_step body
+    x2 = x + a1 * p
+    r2 = r - a1 * s
+    rt2 = rt - a1 * st
+    p2 = rt2 + beta * p
+    s2 = op.mv(p2)
+    st2 = prec.apply(s2)
+    refs = (jnp.vdot(p2, s2), jnp.vdot(r2, st2), jnp.vdot(st2, s2),
+            jnp.vdot(rt2, r2))
+
+    fx, fr, frt, fp, fs, fst, fdots = fused_pr_full_step_prec(
+        op.offsets, op.data, prec.inv_diag, x, r, p, s, rt, st, a1, beta,
+        interpret=True,
+    )
+    for got, ref in [(fx, x2), (fr, r2), (frt, rt2), (fp, p2), (fs, s2),
+                     (fst, st2)]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **TOL)
+    for got, ref in zip(fdots, refs):
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-12)
+
+
+def test_cgcg_matvec_phase_prec_matches_generic():
+    n, k = 8192, 16
+    op, _, _ = banded_model(n, k=k, kappa=100.0)
+    prec = JacobiPreconditioner.from_operator(op)
+    rng = np.random.default_rng(14)
+    x, r, p, s = _vecs(n, rng, 4)
+    a1 = jnp.asarray(0.37)
+
+    x2 = x + a1 * p
+    r2 = r - a1 * s
+    rt2 = prec.apply(r2)
+    w2 = op.mv(rt2)
+    refs = (jnp.vdot(r2, rt2), jnp.vdot(w2, rt2))
+
+    fx, fr, frt, fw, fdots = fused_cgcg_matvec_phase_prec(
+        op.offsets, op.data, prec.inv_diag, x, r, p, s, a1, interpret=True,
+    )
+    for got, ref in [(fx, x2), (fr, r2), (frt, rt2), (fw, w2)]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **TOL)
+    for got, ref in zip(fdots, refs):
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-12)
+
+
+def test_gv_matvec_phase_prec_matches_generic():
+    n, k = 8192, 16
+    op, _, _ = banded_model(n, k=k, kappa=100.0)
+    prec = JacobiPreconditioner.from_operator(op)
+    rng = np.random.default_rng(15)
+    x, r, w, u, p, s, rt, st = _vecs(n, rng, 8)
+    a1 = jnp.asarray(0.37)
+
+    x2 = x + a1 * p
+    r2 = r - a1 * s
+    rt2 = rt - a1 * st
+    w2 = w - a1 * u
+    wt2 = prec.apply(w2)
+    t = op.mv(wt2)
+    refs = (jnp.vdot(r2, rt2), jnp.vdot(w2, rt2))
+
+    fx, fr, frt, fw, fwt, ft, fdots = fused_gv_matvec_phase_prec(
+        op.offsets, op.data, prec.inv_diag, x, r, w, u, p, s, rt, st, a1,
+        interpret=True,
+    )
+    for got, ref in [(fx, x2), (fr, r2), (frt, rt2), (fw, w2), (fwt, wt2),
+                     (ft, t)]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **TOL)
+    for got, ref in zip(fdots, refs):
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "variant", ["hs_pcg", "cg_pcg", "gv_pcg", "pr_pcg", "m_pcg"]
+)
+def test_solver_path_prec_family_fusion(variant, monkeypatch):
+    from new_cg_variants_tpu.solvers.api import run
+
+    n = 4096
+    op, b, _ = banded_model(n, k=4, kappa=1e4)
+    kw = dict(max_iter=40, preconditioner="jacobi",
+              probes=("updated_residual_2_norm",))
+
+    out_ref = run(variant, op, b, **kw)
+    monkeypatch.setenv("NCGV_FULL_FUSED", "1")
+    monkeypatch.setenv("NCGV_FUSED_TILE", "2048")
+    out_fused = run(variant, op, b, **kw)
+
+    res_f = np.asarray(out_fused["updated_residual_2_norm"])
+    res_r = np.asarray(out_ref["updated_residual_2_norm"])
+    # tight agreement before the easy problem's fast convergence hits
+    # the rounding floor (~1e-9 rel by iter 4), envelope after.  The
+    # Meurant nu-recurrence breaks down (NaN) past the floor in BOTH
+    # formulations — compare the common finite prefix and require the
+    # breakdown onset (if any) to roughly coincide.
+    np.testing.assert_allclose(res_f[:3], res_r[:3], rtol=1e-7)
+    # both formulations must reach the same attainable floor; the
+    # breakdown ONSET (nan index) is cancellation-chaotic and may differ
+    floor_f = np.nanmin(res_f[np.isfinite(res_f)])
+    floor_r = np.nanmin(res_r[np.isfinite(res_r)])
+    assert 0.1 < floor_f / floor_r < 10.0, (floor_f, floor_r)
