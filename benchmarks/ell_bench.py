@@ -48,11 +48,34 @@ def synthetic_ell(n, L, bandwidth, seed=0, dtype=None):
 
 OUT = pathlib.Path(__file__).parent / "ell_results.json"
 
+#: sustained XLA-gather rate on this chip (measured, PERF.md) and the
+#: longest single dispatch the tunnel's worker tolerates.  A fori_loop
+#: chunk whose estimated device time exceeds the watchdog kills the TPU
+#: worker process ("UNAVAILABLE: TPU worker process crashed"), so the
+#: harness refuses to launch one instead of crashing the queue: the
+#: round-2 fault (chip_queue.log) was a 524288x32x1000-iter gather chunk
+#: = ~7 min of device time in ONE dispatch.
+GATHER_ELEMS_PER_S = 40e6
+DISPATCH_BUDGET_S = 60.0
+
+
+def safe_iters(op, iters, matvecs_per_iter=2):
+    """Cap chunk length so one dispatch stays under the worker watchdog."""
+    est_s = op.nnz * matvecs_per_iter * iters / GATHER_ELEMS_PER_S
+    if est_s <= DISPATCH_BUDGET_S:
+        return iters
+    capped = max(1, int(iters * DISPATCH_BUDGET_S / est_s))
+    print(f"  [guard] {iters} iters/chunk ~{est_s:.0f}s device time "
+          f"> {DISPATCH_BUDGET_S:.0f}s watchdog budget -> {capped}",
+          flush=True)
+    return capped
+
 
 def measure(tag, op, b, variants, iters, results):
     for variant, mm in variants:
         try:
-            t_iter, _ = time_fixed_iters(variant, op, b, iters)
+            t_iter, _ = time_fixed_iters(variant, op, b,
+                                         safe_iters(op, iters, mm))
         except Exception as e:  # record the failure, keep the suite going
             results[tag][variant] = {"error": repr(e)[:200]}
             print(f"{tag}/{variant}: FAILED {e!r}", flush=True)
@@ -100,6 +123,17 @@ def main():
     b2 = jnp.asarray(np.random.default_rng(1).standard_normal(n2), dtype=dtype)
     results["synthetic_131k_L16"] = {"n": n2, "nnz": op2.nnz, "L": L2}
     measure("synthetic_131k_L16", op2, b2, [("hs_cg", 1)], 50, results)
+
+    # 2b. crash diagnosis (VERDICT r2 #7): the EXACT shape that killed
+    #     the TPU worker in round 2 (n=524288, L=32) — but chunked under
+    #     the dispatch budget by safe_iters.  Completing here proves the
+    #     fault was single-dispatch duration (worker watchdog), not the
+    #     gather's index layout at that shape.
+    n3, L3 = 524_288, 32
+    op4 = synthetic_ell(n3, L3, bandwidth=16_384, seed=2, dtype=dtype)
+    b4 = jnp.asarray(np.random.default_rng(3).standard_normal(n3), dtype=dtype)
+    results["synthetic_524k_L32"] = {"n": n3, "nnz": op4.nnz, "L": L3}
+    measure("synthetic_524k_L32", op4, b4, [("hs_cg", 1)], 50, results)
 
     # 3. the MXU answer: block-banded packing of the SAME general
     #    matrix (RCM reorder + block-tridiagonal batched matmul,
