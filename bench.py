@@ -76,14 +76,19 @@ def main():
     state = chunk(op.data, state)
     float(np.asarray(state["nu"]))
 
-    # Time REPEATS chained chunks: every call sees a distinct input state
-    # (no layer below can serve a cached execution), and the device-to-host
-    # fetch of the final scalar forces the whole chain to really complete
-    # (block_until_ready alone does not synchronize through remote-device
-    # tunnels).  The one scalar fetch amortizes over REPEATS*ITERS iters.
+    # Time REPEATS chained chunks per trial: every call sees a distinct
+    # input state (no layer below can serve a cached execution), and the
+    # device-to-host fetch of the final scalar forces the whole chain to
+    # really complete (block_until_ready alone does not synchronize
+    # through remote-device tunnels).  Each trial RESTARTS from init on a
+    # perturbed rhs: chaining one solve past ~20k iterations underflows
+    # the f32 recurrence norm to exact zero and the next beta = 0/0 goes
+    # NaN — a harness artifact, not a solver property (nu at 15k iters is
+    # already ~1e-31).  A perturbed b keeps the trial's arguments
+    # distinct so no cache layer can serve it.
     times = []
-    s = state
-    while len(times) < 8:
+    for trial in range(8):
+        s = init(op.data, b * (1.0 + 1e-6 * (trial + 1)))
         t0 = time.perf_counter()
         for _ in range(REPEATS):
             s = chunk(op.data, s)
@@ -97,8 +102,10 @@ def main():
                 break
     best = min(times)
 
-    # sanity: the solve must actually be converging (finite recurrence norm)
-    assert np.isfinite(nu_final), "diverged"
+    # sanity: the solve must actually be converging — a healthy 10k-iter
+    # trial ends with nu tiny but strictly positive (NaN = divergence,
+    # exact 0 = the underflow artifact this loop is built to avoid)
+    assert np.isfinite(nu_final) and nu_final > 0, "diverged"
 
     ms_per_iter = best / (REPEATS * ITERS_PER_CHUNK) * 1e3
     print(
