@@ -89,6 +89,10 @@ def main():
     times = []
     for trial in range(8):
         s = init(op.data, b * (1.0 + 1e-6 * (trial + 1)))
+        # drain init (and the rhs-scale kernel) with a host fetch BEFORE
+        # the timer — dispatch is async, and block_until_ready does not
+        # synchronize through the tunnel (PERF.md methodology rule 1)
+        float(np.asarray(s["nu"]))
         t0 = time.perf_counter()
         for _ in range(REPEATS):
             s = chunk(op.data, s)

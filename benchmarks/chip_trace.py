@@ -6,13 +6,24 @@ The ``-log_view``-parsing analog applied to the real device
 pipe-PR chunk on the headline problem, then ``phase_breakdown`` into the
 spmv / dots / vector / collective / other table for PERF.md.
 
-Writes ``benchmarks/chip_trace.json`` (+ prints the table).  One device
-process; the trace directory is left under /tmp (hundreds of MB).
+Round-4 additions (VERDICT r3 task 5):
+
+* the top op-level rows land in the JSON so phase attribution is
+  auditable (round 3's 67.8% "other" was the unmatched Mosaic
+  custom-call + lane double-counting);
+* ``device_ms_per_iter`` is derived from the per-op lane total and
+  reconciled against the untraced bench.py number;
+* a SECOND trace of the generic (non-fused) formulation quantifies what
+  the whole-iteration Pallas fusion buys on the same problem.
+
+Writes ``benchmarks/chip_trace.json`` (+ prints the tables).  One device
+process; trace directories are left under /tmp (hundreds of MB).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -24,25 +35,16 @@ K_BAND = 32
 TRACE_ITERS = 200
 
 
-def main():
+def _traced_chunk(op, b, tdir):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from new_cg_variants_tpu.matio.problems import banded_model
     from new_cg_variants_tpu.ops.operators import DiaOperator
     from new_cg_variants_tpu.solvers.context import Context
     from new_cg_variants_tpu.solvers.families import FAMILIES
     from new_cg_variants_tpu.utils.profiling import trace
-    from new_cg_variants_tpu.utils.trace_analysis import (
-        format_table,
-        phase_breakdown,
-    )
 
-    op64, b, _ = banded_model(N, k=K_BAND)
-    op = DiaOperator(op64.offsets,
-                     jnp.asarray(np.asarray(op64.data), jnp.float32))
-    b = jnp.asarray(b, jnp.float32)
     init_fn, step_fn = FAMILIES["pipe_pr"]
 
     @jax.jit
@@ -62,20 +64,59 @@ def main():
     state = chunk(op.data, state)
     float(np.asarray(state["nu"]))
 
-    tdir = "/tmp/ncgv_chip_trace"
     t0 = time.perf_counter()
     with trace(tdir):
         state = chunk(op.data, state)
         float(np.asarray(state["nu"]))
-    wall = time.perf_counter() - t0
-    print(f"traced {TRACE_ITERS} iters in {wall:.2f}s wall", flush=True)
+    return time.perf_counter() - t0
 
-    bd = phase_breakdown(tdir)
-    print(format_table(bd))
+
+def main():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from new_cg_variants_tpu.matio.problems import banded_model
+    from new_cg_variants_tpu.ops.operators import DiaOperator
+    from new_cg_variants_tpu.utils.trace_analysis import (
+        format_table,
+        load_trace_events,
+        op_breakdown,
+        phase_breakdown,
+    )
+
+    op64, b, _ = banded_model(N, k=K_BAND)
+    op = DiaOperator(op64.offsets,
+                     jnp.asarray(np.asarray(op64.data), jnp.float32))
+    b = jnp.asarray(np.asarray(b), jnp.float32)
+
+    out_doc = {"n": N, "k": K_BAND, "iters": TRACE_ITERS, "paths": {}}
+    for label, env in [("fused", None), ("generic", "0")]:
+        if env is None:
+            os.environ.pop("NCGV_FULL_FUSED", None)
+        else:
+            os.environ["NCGV_FULL_FUSED"] = env
+        tdir = f"/tmp/ncgv_chip_trace_{label}"
+        wall = _traced_chunk(op, b, tdir)
+        events = load_trace_events(tdir)
+        bd = phase_breakdown(events)
+        ops = op_breakdown(events, top=12)
+        dev_ms_iter = bd["total_us"] / 1e3 / TRACE_ITERS
+        print(f"--- {label} path: {wall:.2f}s wall, "
+              f"{dev_ms_iter:.4f} ms/iter device time ---", flush=True)
+        print(format_table(bd))
+        for r in ops[:6]:
+            print(f"    {r['name'][:60]:<60s} {r['total_us']/1e3:9.2f} ms "
+                  f"x{r['count']}")
+        out_doc["paths"][label] = {
+            "wall_s": wall,
+            "device_ms_per_iter": dev_ms_iter,
+            "breakdown": bd,
+            "top_ops": ops,
+        }
+    os.environ.pop("NCGV_FULL_FUSED", None)
+
     out = pathlib.Path(__file__).parent / "chip_trace.json"
-    out.write_text(json.dumps(
-        {"n": N, "k": K_BAND, "iters": TRACE_ITERS, "wall_s": wall,
-         "breakdown": bd}, indent=1, default=str))
+    out.write_text(json.dumps(out_doc, indent=1, default=str))
     print("wrote", out)
     return 0
 

@@ -60,8 +60,28 @@ DISPATCH_BUDGET_S = 60.0
 
 
 def safe_iters(op, iters, matvecs_per_iter=2):
-    """Cap chunk length so one dispatch stays under the worker watchdog."""
-    est_s = op.nnz * matvecs_per_iter * iters / GATHER_ELEMS_PER_S
+    """Cap chunk length so one dispatch stays under the worker watchdog.
+
+    The rate model is formulation-aware: the 40M elem/s figure is the
+    measured XLA *gather* rate and applies to :class:`EllOperator` only;
+    block-banded is MXU batched-matmul (orders of magnitude faster per
+    stored value) and is modeled at its measured ~1 Tflop/s-class padded
+    throughput so the guard doesn't spuriously shorten its chunks.
+    """
+    from new_cg_variants_tpu.ops.block_banded import BlockBandedOperator
+    from new_cg_variants_tpu.ops.operators import EllOperator
+
+    if isinstance(op, EllOperator):
+        elems_per_s = GATHER_ELEMS_PER_S
+        work = op.nnz
+    elif isinstance(op, BlockBandedOperator):
+        # padded MACs per matvec at a conservative MXU rate
+        elems_per_s = 5e11
+        work = int(np.prod(op.a_blk.shape))
+    else:  # DIA/stencil: HBM-bound, ~1e11 values/s at the measured ceiling
+        elems_per_s = 1e11
+        work = op.nnz
+    est_s = work * matvecs_per_iter * iters / elems_per_s
     if est_s <= DISPATCH_BUDGET_S:
         return iters
     capped = max(1, int(iters * DISPATCH_BUDGET_S / est_s))

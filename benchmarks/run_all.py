@@ -34,7 +34,28 @@ def _fetch(x):
     return float(np.asarray(x))
 
 
-def time_fixed_iters(variant, op, b, iters, chunks=2, trials=3):
+def device_put_drained(tree):
+    """jnp.asarray every array leaf and DRAIN the transfers.
+
+    EVERY argument a timed jit call receives must already be
+    device-resident: a numpy leaf is re-uploaded through the axon tunnel
+    on every call (the round-1 "numpy rhs" anomaly, and its round-3
+    recurrence one argument to the left — the 164 MB numpy-backed
+    operator inflated all seven suite numbers by ~0.22 ms/iter).
+    ``block_until_ready`` does not synchronize through the tunnel, so
+    each leaf is drained by a 1-element host fetch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tree = jax.tree.map(jnp.asarray, tree)
+    for leaf in jax.tree.leaves(tree):
+        _fetch(jnp.ravel(leaf)[0])
+    return tree
+
+
+def time_fixed_iters(variant, op, b, iters, chunks=2, trials=3,
+                     max_trials=8, preconditioner=None):
     """Steady-state ms/iter via chained solve calls + final host fetch.
 
     ONE compiled program per variant (init + fori_loop in the same jit)
@@ -43,11 +64,12 @@ def time_fixed_iters(variant, op, b, iters, chunks=2, trials=3):
     (the previous solution) so no layer can serve a cached execution;
     init adds ~3 matvecs, amortized over ``iters``.
 
-    ``trials``: the whole chunk set is timed ``trials`` times and the
-    MINIMUM taken — the reference's own reduction
-    (``scaling_plots.py:53``), and the only robust stance against the
-    tunnel's seconds-scale stalls (one stall inflated a full suite run
-    ~2x in round 3 before this).
+    Trials: the chunk set is timed repeatedly and the MINIMUM taken —
+    the reference's own reduction (``scaling_plots.py:53``).  At least
+    ``trials`` runs; keeps going (to ``max_trials``) until the two
+    fastest agree within 5%, the same stability gate as ``bench.py`` —
+    min-of-3 alone is thin against the tunnel's seconds-scale stalls
+    (two same-day round-3 runs disagreed by up to 1.7x).
     """
     import jax
     import jax.numpy as jnp
@@ -55,7 +77,7 @@ def time_fixed_iters(variant, op, b, iters, chunks=2, trials=3):
     from new_cg_variants_tpu.solvers.api import _resolve
     from new_cg_variants_tpu.solvers.context import Context
 
-    init_fn, step_fn, precond = _resolve(variant, op, None)
+    init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
 
     @jax.jit
     def run_iters(op, b):
@@ -63,24 +85,34 @@ def time_fixed_iters(variant, op, b, iters, chunks=2, trials=3):
         state = init_fn(ctx, b, jnp.zeros_like(b))
         return jax.lax.fori_loop(0, iters, lambda _, s: step_fn(ctx, s), state)
 
-    # b MUST be device-resident before the timer starts: a numpy b is
-    # re-uploaded through the tunnel on EVERY call that receives it
-    # (seconds for MB-scale vectors — it inflated every variant by a
-    # near-constant ~0.3 ms/iter in the r1/r2 suites until fixed)
-    b = jnp.asarray(b)
-    _fetch(b[0])  # drain the host->device transfer
+    # operator AND rhs must be device-resident with transfers drained
+    # before the timer starts (see device_put_drained)
+    op = device_put_drained(op)
+    precond = device_put_drained(precond)
+    b = device_put_drained(jnp.asarray(b))
 
     s = run_iters(op, b)
     _fetch(s["nu"])  # compile + warm
-    best = float("inf")
-    bb = b
-    for _ in range(trials):
+    times = []
+    for trial in range(max_trials):
+        # each trial restarts from a PERTURBED rhs (distinct argument, no
+        # cache layer can serve it) and chains within the trial only:
+        # chaining r as the next rhs across many solves collapses the rhs
+        # norm geometrically until nu underflows (bench.py's round-3
+        # lesson, bench.py:83-91)
+        bb = b * (1.0 + 1e-6 * (trial + 1))
+        _fetch(bb[0])  # drain the rhs-scale kernel before the timer
         t0 = time.perf_counter()
         for _ in range(chunks):
             s = run_iters(op, bb)
-            bb = s["r"]  # distinct rhs each call
+            bb = s["r"]  # distinct rhs each chained call
         _fetch(s["nu"])
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+        if len(times) >= trials:
+            t1, t2 = sorted(times)[:2]
+            if t2 <= 1.05 * t1:
+                break
+    best = min(times)
     # the timed state solves a perturbed rhs; re-derive x-error from a
     # fresh warm call on the true rhs
     s_true = run_iters(op, b)
@@ -126,16 +158,26 @@ def main(argv=None):
                "configs": prior}
 
     # configs 2-5 on the banded model (matvec structure identical to the
-    # reference scaling experiments); 2 matvecs/iter for pipe_pr
+    # reference scaling experiments); 2 matvecs/iter for the recomputing
+    # pipelined variants.  The reference's convergence table covers all 9
+    # algorithms incl. the Meurant pipelined twins (figure_gen.py:360),
+    # and its PETSc runs are the *_cg flavors; the jacobi rows time the
+    # prec-fused kernels (Jacobi is elementwise — expected within ~10%
+    # of the unpreconditioned twins).
     wanted = set(args.variants.split(",")) if args.variants else None
     for variant, mm in [("hs_cg", 1), ("cg_cg", 1), ("m_cg", 1),
                         ("gv_cg", 1), ("pr_cg", 1), ("pipe_pr_cg", 2),
-                        ("pipe_p_cg", 1)]:
+                        ("pipe_p_cg", 1),
+                        ("pipe_p_m_cg", 1), ("pipe_pr_m_cg", 2),
+                        ("hs_pcg", 1), ("cg_pcg", 1), ("gv_pcg", 1),
+                        ("pr_pcg", 1), ("pipe_pr_pcg", 2)]:
         if wanted is not None and variant not in wanted:
             continue
         if wanted is None and variant in results["configs"]:
             continue  # resume: already measured
-        t_iter, s = time_fixed_iters(variant, op, b.astype(dtype), iters)
+        prec = "jacobi" if variant.endswith("pcg") else None
+        t_iter, s = time_fixed_iters(variant, op, b.astype(dtype), iters,
+                                     preconditioner=prec)
         x = np.asarray(s["x"], np.float64)
         err = float(np.linalg.norm(x - x_true) / np.linalg.norm(x_true))
         m = derived_metrics(op, t_iter, 1, matvecs_per_iter=mm,

@@ -42,8 +42,15 @@ def main():
 
     results = {"env": env_info(), "n": N, "k": K_BAND,
                "iters_per_chunk": ITERS, "configs": {}}
+    out = pathlib.Path(__file__).parent / "stencil.json"
     for variant, mm in [("pipe_pr_cg", 2), ("hs_cg", 1)]:
-        t_iter, s = time_fixed_iters(variant, op, b, ITERS)
+        try:  # record the failure, keep the arm going (ell_bench.measure)
+            t_iter, s = time_fixed_iters(variant, op, b, ITERS)
+        except Exception as e:
+            results["configs"][variant] = {"error": repr(e)[:200]}
+            print(f"{variant}: FAILED {e!r}", flush=True)
+            out.write_text(json.dumps(results, indent=1))
+            continue
         x = np.asarray(s["x"], np.float64)
         err = float(np.linalg.norm(x - x_true) / np.linalg.norm(x_true))
         results["configs"][variant] = {
@@ -54,8 +61,7 @@ def main():
         print(f"{variant}: {t_iter*1e3:.4f} ms/iter "
               f"({op.nnz*mm/t_iter/1e9:.0f} Gnnz/s equiv), relerr {err:.2e}",
               flush=True)
-    out = pathlib.Path(__file__).parent / "stencil.json"
-    out.write_text(json.dumps(results, indent=1))
+        out.write_text(json.dumps(results, indent=1))
     print("wrote", out)
     return 0
 

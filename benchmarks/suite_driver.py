@@ -7,17 +7,30 @@ without losing completed measurements.  STRICTLY one device process at
 a time (PERF.md methodology note 4).
 """
 
+import json
 import pathlib
 import subprocess
 import sys
 
 VARIANTS = ["pipe_pr_cg", "hs_cg", "cg_cg", "m_cg", "gv_cg", "pr_cg",
-            "pipe_p_cg"]
+            "pipe_p_cg", "pipe_p_m_cg", "pipe_pr_m_cg",
+            "hs_pcg", "cg_pcg", "gv_pcg", "pr_pcg", "pipe_pr_pcg"]
 HERE = pathlib.Path(__file__).resolve().parent
 
 
 def main():
+    # resume: a variant already in results.json is NOT re-measured (an
+    # interrupted queue re-run continues where it stopped; delete the
+    # file or a key to force a fresh measurement)
+    done = set()
+    try:
+        done = set(json.loads((HERE / "results.json").read_text())["configs"])
+    except Exception:
+        pass
     for v in VARIANTS:
+        if v in done:
+            print(f"=== {v} === (already measured, skipping)", flush=True)
+            continue
         print(f"=== {v} ===", flush=True)
         try:
             subprocess.run(

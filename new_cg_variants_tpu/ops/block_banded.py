@@ -96,7 +96,9 @@ class BlockBandedOperator:
         return jnp.diagonal(d, axis1=1, axis2=2).reshape(-1)
 
     def astype(self, dtype):
-        return BlockBandedOperator(self.a_blk.astype(dtype), self.n_orig,
+        # device-resident output even from numpy-backed blocks (see
+        # operators.DenseOperator.astype)
+        return BlockBandedOperator(jnp.asarray(self.a_blk, dtype), self.n_orig,
                                    self.nnz_stored)
 
     def todense(self):

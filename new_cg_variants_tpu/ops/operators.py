@@ -45,6 +45,10 @@ __all__ = [
     "EllOperator",
     "from_coo",
     "as_operator",
+    "build_dense",
+    "build_dia",
+    "build_ell",
+    "choose_format",
 ]
 
 
@@ -89,7 +93,11 @@ class DenseOperator:
         return jnp.diagonal(self.a)
 
     def astype(self, dtype):
-        return DenseOperator(self.a.astype(dtype))
+        # jnp.asarray (not ndarray.astype): a numpy-backed leaf must come
+        # out device-resident, or every jit call receiving the operator
+        # re-uploads it host->device (the round-3 suite measured the
+        # tunnel, not the kernels — ~0.22 ms/iter on a 164 MB operator)
+        return DenseOperator(jnp.asarray(self.a, dtype))
 
     def todense(self):
         return self.a
@@ -170,7 +178,9 @@ class DiaOperator:
         return self.data[d]
 
     def astype(self, dtype):
-        return DiaOperator(self.offsets, self.data.astype(dtype))
+        # device-resident output even from numpy-backed data (see
+        # DenseOperator.astype)
+        return DiaOperator(self.offsets, jnp.asarray(self.data, dtype))
 
     def todense(self):
         n = self.n
@@ -260,7 +270,10 @@ class EllOperator:
         return jnp.sum(jnp.where(hit, self.val, 0.0), axis=1)
 
     def astype(self, dtype):
-        return EllOperator(self.val.astype(dtype), self.idx, self.nnz_stored)
+        # val AND idx device-resident (see DenseOperator.astype)
+        return EllOperator(
+            jnp.asarray(self.val, dtype), jnp.asarray(self.idx), self.nnz_stored
+        )
 
     def todense(self):
         n, L = self.val.shape
@@ -290,59 +303,87 @@ class EllOperator:
         return cls(children[0], children[1], aux)
 
 
+def build_dense(coo) -> np.ndarray:
+    """Host-side f64 dense array from COO (duplicates summed)."""
+    n = coo.shape[0]
+    a = np.zeros((n, n), dtype=np.float64)
+    np.add.at(a, (np.asarray(coo.row), np.asarray(coo.col)),
+              np.asarray(coo.val, dtype=np.float64))
+    return a
+
+
+def build_dia(coo) -> tuple:
+    """Host-side f64 DIA layout ``(offsets, data)`` from COO."""
+    n = coo.shape[0]
+    row = np.asarray(coo.row)
+    col = np.asarray(coo.col)
+    val = np.asarray(coo.val, dtype=np.float64)
+    diags = np.unique(col - row)
+    offsets = tuple(int(o) for o in diags)
+    data = np.zeros((len(offsets), n), dtype=np.float64)
+    omap = {o: d for d, o in enumerate(offsets)}
+    d_idx = np.array([omap[int(o)] for o in (col - row)])
+    np.add.at(data, (d_idx, row), val)
+    return offsets, data
+
+
+def build_ell(coo) -> tuple:
+    """Host-side f64 padded-ELL layout ``(val, idx, nnz)`` from COO."""
+    n = coo.shape[0]
+    row = np.asarray(coo.row)
+    col = np.asarray(coo.col)
+    val = np.asarray(coo.val, dtype=np.float64)
+    counts = np.bincount(row, minlength=n)
+    L = max(1, int(counts.max()))
+    order = np.lexsort((col, row))
+    try:
+        from ..matio import _native
+
+        ell_val, ell_idx = _native.pack_ell(
+            row[order], col[order], val[order], n, L
+        )
+    except Exception:
+        ell_val = np.zeros((n, L), dtype=np.float64)
+        ell_idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, L))
+        slot = np.zeros(n, dtype=np.int64)
+        for e in order:
+            i = row[e]
+            ell_val[i, slot[i]] += val[e]
+            ell_idx[i, slot[i]] = col[e]
+            slot[i] += 1
+    return ell_val, ell_idx, int(len(val))
+
+
+def choose_format(coo, dia_max_diags: int = 256) -> str:
+    """The auto policy: dense for small n, DIA for low diagonal count,
+    else ELL."""
+    n = coo.shape[0]
+    if n <= 512:
+        return "dense"
+    diags = np.unique(np.asarray(coo.col) - np.asarray(coo.row))
+    return "dia" if len(diags) <= dia_max_diags else "ell"
+
+
 def from_coo(coo, fmt: str = "auto", dtype=jnp.float64, dia_max_diags: int = 256):
     """Build an operator from a :class:`~..matio.matrix_market.CooMatrix`.
 
     ``fmt``: ``'dense' | 'dia' | 'ell' | 'auto'``.  Auto picks dense for
     small matrices, DIA when the occupied-diagonal count is low, else ELL.
     """
-    n = coo.shape[0]
-    row = np.asarray(coo.row)
-    col = np.asarray(coo.col)
-    val = np.asarray(coo.val, dtype=np.float64)
-
     if fmt == "auto":
-        if n <= 512:
-            fmt = "dense"
-        else:
-            diags = np.unique(col - row)
-            fmt = "dia" if len(diags) <= dia_max_diags else "ell"
+        fmt = choose_format(coo, dia_max_diags)
 
     if fmt == "dense":
-        a = np.zeros((n, n), dtype=np.float64)
-        np.add.at(a, (row, col), val)
-        return DenseOperator(jnp.asarray(a, dtype=dtype))
+        return DenseOperator(jnp.asarray(build_dense(coo), dtype=dtype))
 
     if fmt == "dia":
-        diags = np.unique(col - row)
-        offsets = tuple(int(o) for o in diags)
-        data = np.zeros((len(offsets), n), dtype=np.float64)
-        omap = {o: d for d, o in enumerate(offsets)}
-        d_idx = np.array([omap[int(o)] for o in (col - row)])
-        np.add.at(data, (d_idx, row), val)
+        offsets, data = build_dia(coo)
         return DiaOperator(offsets, jnp.asarray(data, dtype=dtype))
 
     if fmt == "ell":
-        counts = np.bincount(row, minlength=n)
-        L = max(1, int(counts.max()))
-        order = np.lexsort((col, row))
-        try:
-            from ..matio import _native
-
-            ell_val, ell_idx = _native.pack_ell(
-                row[order], col[order], val[order], n, L
-            )
-        except Exception:
-            ell_val = np.zeros((n, L), dtype=np.float64)
-            ell_idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, L))
-            slot = np.zeros(n, dtype=np.int64)
-            for e in order:
-                i = row[e]
-                ell_val[i, slot[i]] += val[e]
-                ell_idx[i, slot[i]] = col[e]
-                slot[i] += 1
+        ell_val, ell_idx, nnz = build_ell(coo)
         return EllOperator(
-            jnp.asarray(ell_val, dtype=dtype), jnp.asarray(ell_idx), int(len(val))
+            jnp.asarray(ell_val, dtype=dtype), jnp.asarray(ell_idx), nnz
         )
 
     raise ValueError(f"unknown format {fmt!r}")

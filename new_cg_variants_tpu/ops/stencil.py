@@ -100,8 +100,11 @@ class BandedStencilOperator:
         return self.diag
 
     def astype(self, dtype):
+        # device-resident output even from numpy-backed leaves (see
+        # operators.DenseOperator.astype)
         return BandedStencilOperator(
-            self.diag.astype(dtype), self.off_value.astype(dtype), self.k
+            jnp.asarray(self.diag, dtype), jnp.asarray(self.off_value, dtype),
+            self.k
         )
 
     def todense(self):

@@ -44,15 +44,21 @@ __all__ = [
 # Solver-phase buckets <- XLA/Mosaic op-name patterns.  Mirrors the
 # reference's PETSc event buckets: MatMult -> spmv, VecDot/VecMDot +
 # MPI_Allreduce -> dots, VecAXPY-class -> vector, VecScatter -> comm.
+# Pallas kernels lower to Mosaic custom-calls whose trace events carry
+# the HLO name (``custom-call[.N]``) rather than the kernel symbol —
+# in this framework every Pallas kernel IS the (fused) SpMV pass, so
+# custom-calls land in the spmv bucket (round-3 lesson: 67.8% of device
+# time fell into "other" because only the python-side names matched).
 PHASE_PATTERNS = [
     ("spmv", re.compile(
         r"dia_spmv|spmv|full_step|fused_pipe|block_banded|einsum|dot_general|"
-        r"gather", re.I)),
+        r"gather|custom-call|tpu_custom_call|mosaic|pallas", re.I)),
     ("dots/reduce", re.compile(r"reduce|dots", re.I)),
     ("collectives", re.compile(
         r"all-reduce|all-gather|collective-permute|reduce-scatter|psum|"
         r"ppermute", re.I)),
-    ("vector", re.compile(r"fusion|add|subtract|multiply|axpy", re.I)),
+    ("vector", re.compile(r"fusion|add|subtract|multiply|axpy|copy|"
+                          r"select|compare|broadcast", re.I)),
 ]
 
 
@@ -96,10 +102,17 @@ def load_trace_events(log_dir: str) -> list[dict]:
         if ev.get("ph") != "X" or "dur" not in ev:
             continue
         pid, tid = ev.get("pid"), ev.get("tid")
+        # keep process and thread lane names SEPARATE: a TPU trace has one
+        # device process with several thread lanes (XLA Modules = one
+        # event per compiled program, XLA Ops = one per HLO op, Steps,
+        # ...) that each cover the same wall time — collapsing them into
+        # one lane triple-counts device time (the round-3 chip trace
+        # reported 0.725 ms/iter against bench.py's 0.245 exactly that way)
         out.append({
             "name": ev.get("name", ""),
             "dur": float(ev["dur"]),
             "lane": pnames.get(pid, "") or tnames.get((pid, tid), ""),
+            "thread": tnames.get((pid, tid), ""),
         })
     return out
 
@@ -116,10 +129,23 @@ _HOST_NOISE = re.compile(
     r"sharding_computation|mlir", re.I)
 
 
+_OPS_THREAD = re.compile(r"XLA Ops|TensorFlow Ops", re.I)
+_NON_OP_THREAD = re.compile(r"XLA Modules|Steps|Framework|Source|Scoped|"
+                            r"Host Threads", re.I)
+
+
 def _device_events(events: list[dict]) -> list[dict]:
-    dev = [e for e in events if _DEVICE_LANE.search(e["lane"] or "")]
+    dev = [e for e in events if _DEVICE_LANE.search(e["lane"] or "")
+           or _DEVICE_LANE.search(e.get("thread", "") or "")]
     if dev:
-        return dev
+        # one trace carries several overlapping views of the same device
+        # time; use ONLY the per-op thread lane when present, else drop
+        # the known whole-program/step summary lanes
+        ops = [e for e in dev if _OPS_THREAD.search(e.get("thread", "") or "")]
+        if ops:
+            return ops
+        return [e for e in dev
+                if not _NON_OP_THREAD.search(e.get("thread", "") or "")]
     return [e for e in events if not _HOST_NOISE.search(e["name"])]
 
 
