@@ -1,12 +1,14 @@
-"""TPU f32 iteration-count fidelity study across fixture families.
+"""TPU iteration-count/accuracy fidelity study across fixture families.
 
-Widens ``accuracy_f32.py`` (single bcsstk03 floor comparison) to a
-5-matrix, 2-variant table: on-chip f32 plain vs f32 compensated-dot
+6-matrix table: on-chip f32 plain vs f32 compensated-dot vs f32x2
+(double-word vectors + exact three-word operator, ``ops/doublefloat``)
 iterations-to-1e-5-relative-A-norm-error and best accuracy, against the
 reference's shipped float64 histories
-(``numerical_experiments/data/{matrix}_jacobi/*.npy``) — quantifying
-where the error-free-transform dots buy iteration-count fidelity (the
-framework's f64 substitute story, SURVEY §7 hard-parts).
+(``numerical_experiments/data/{matrix}_jacobi/*.npy``).  Round 3 showed
+compensated DOTS alone don't move the attainable-accuracy floor; the
+f32x2 arm is the round-4 answer (VERDICT r3 task 3) — done-criterion:
+iters-to-1e-5 within ~2% of the f64 counts on >=4 of 6 matrices and
+log10-best within ~1 digit.
 
 Writes ``benchmarks/accuracy_study.json``.  One device process.
 """
@@ -71,18 +73,30 @@ def main():
         row = {}
         for variant in VARIANTS:
             ent = {"ref_f64": _ref_metrics(matrix, variant)}
-            for label, kw in [("f32", {}), ("f32_comp", {"compensated": True})]:
-                out = cgt.run(
-                    variant, coo, b, max_iter=max_iter,
-                    preconditioner="jacobi", probes=("error_A_norm",),
-                    x_true=x_true, dtype=jnp.float32, **kw,
-                )
-                ent[label] = _metrics(out["error_A_norm"])
+            for label, kw in [("f32", {"dtype": jnp.float32}),
+                              ("f32_comp", {"dtype": jnp.float32,
+                                            "compensated": True}),
+                              ("f32x2", {"dtype": "f32x2"})]:
+                try:
+                    out = cgt.run(
+                        variant, coo, b, max_iter=max_iter,
+                        preconditioner="jacobi", probes=("error_A_norm",),
+                        x_true=x_true, **kw,
+                    )
+                    ent[label] = _metrics(out["error_A_norm"])
+                except Exception as e:  # record, keep the study going
+                    ent[label] = {"error": repr(e)[:200]}
+                    print(f"{matrix}/{variant}/{label}: FAILED {e!r}",
+                          flush=True)
             row[variant] = ent
-            print(f"{matrix}/{variant}: "
-                  f"f64 {ent['ref_f64']['iters_to_1e-5'] if ent['ref_f64'] else '?'} | "
-                  f"f32 {ent['f32']['iters_to_1e-5']} | "
-                  f"comp {ent['f32_comp']['iters_to_1e-5']}", flush=True)
+
+            def _fmt(d):
+                return (f"{d['iters_to_1e-5']}@{d['log10_best']:.1f}"
+                        if d and "iters_to_1e-5" in d else "?")
+
+            print(f"{matrix}/{variant}: f64 {_fmt(ent['ref_f64'])} | "
+                  f"f32 {_fmt(ent['f32'])} | comp {_fmt(ent['f32_comp'])} | "
+                  f"f32x2 {_fmt(ent['f32x2'])}", flush=True)
         results[matrix] = {"n": n, "max_iter": max_iter, **row}
         out_p = pathlib.Path(__file__).parent / "accuracy_study.json"
         out_p.write_text(json.dumps(results, indent=1))

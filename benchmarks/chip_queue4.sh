@@ -16,6 +16,7 @@ timeout 1800 python benchmarks/spectrum_bench.py
 echo "=== chip trace (per-phase breakdown, fused + generic) ==="
 timeout 3600 python benchmarks/chip_trace.py
 echo "=== accuracy study (6 matrices, f32 / compensated / f32x2) ==="
+[ -e benchmarks/accuracy_study_r3.json ] || mv benchmarks/accuracy_study.json benchmarks/accuracy_study_r3.json 2>/dev/null
 timeout 7200 python benchmarks/accuracy_study.py
 echo "=== stencil fast path ==="
 timeout 1800 python benchmarks/stencil_bench.py

@@ -59,10 +59,23 @@ def fast_two_sum(a, b):
 
 
 def df_add(ah, al, bh, bl):
-    """Double-float addition: (ah+al) + (bh+bl) -> renormalized (hi, lo)."""
-    s, e = two_sum(ah, bh)
-    e = e + (al + bl)
-    return fast_two_sum(s, e)
+    """Accurate double-float addition (two 2Sums + two renormalizations).
+
+    The textbook "sloppy" variant (one 2Sum, low words folded in with a
+    plain add) has an O(eps) RELATIVE error when the high words cancel —
+    and cancellation is the core operation of a CG residual update
+    (``r = r - alpha*s``): with the sloppy add the f32x2 solve floor
+    measured ~30 bits instead of ~48.  This is the Knuth/Shewchuk
+    accurate sum: relative error O(eps^2) for any sign pattern, at the
+    cost of one extra 2Sum (6 more flops) — elementwise, fully
+    XLA-fusable.
+    """
+    sh, se = two_sum(ah, bh)
+    th, te = two_sum(al, bl)
+    se = se + th
+    sh, se = fast_two_sum(sh, se)
+    se = se + te
+    return fast_two_sum(sh, se)
 
 
 def _df_tree_sum(hi, lo):

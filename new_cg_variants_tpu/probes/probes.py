@@ -37,43 +37,55 @@ import jax.numpy as jnp
 __all__ = ["PROBES", "resolve_probes", "DEFAULT_PROBES"]
 
 
+def _plain(v):
+    """Collapse a double-float value to working precision for recording.
+
+    Probe ROWS are always single-word arrays regardless of the solve's
+    arithmetic mode (`dtype="f32x2"` states carry (hi, lo) pairs; their
+    probe values are f32-representable).
+    """
+    from ..ops.doublefloat import collapse
+
+    return collapse(v)
+
+
 def error_A_norm(ctx, state, aux):
     e = state["x"] - aux["x_true"]
     (eae,) = ctx.dots((e, ctx.mv(e)))
-    return jnp.sqrt(eae)
+    return jnp.sqrt(jnp.abs(_plain(eae)))
 
 
 def error_2_norm(ctx, state, aux):
     e = state["x"] - aux["x_true"]
     (ee,) = ctx.dots((e, e))
-    return jnp.sqrt(ee)
+    return jnp.sqrt(_plain(ee))
 
 
 def residual_2_norm(ctx, state, aux):
     r_true = aux["b"] - ctx.mv(state["x"])
     (rr,) = ctx.dots((r_true, r_true))
-    return jnp.sqrt(rr)
+    return jnp.sqrt(_plain(rr))
 
 
 def updated_residual_2_norm(ctx, state, aux):
     r = state["r"]
     (rr,) = ctx.dots((r, r))
-    return jnp.sqrt(rr)
+    return jnp.sqrt(_plain(rr))
 
 
 def _scalar(key):
     def probe(ctx, state, aux):
-        return state[key]
+        return _plain(state[key])
 
     return probe
 
 
 def save_x(ctx, state, aux):
-    return state["x"]
+    return _plain(state["x"])
 
 
 def save_r(ctx, state, aux):
-    return state["r"]
+    return _plain(state["r"])
 
 
 PROBES = {

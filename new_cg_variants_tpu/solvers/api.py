@@ -118,7 +118,17 @@ def run(
     ``w_replace_init`` switches the gv residual-replacement hook to the
     stateful protocol: ``w_replace(k, view, rep_state) -> (bool,
     new_rep_state)`` with ``rep_state`` initialized to this pytree.
+
+    ``dtype="f32x2"`` runs the whole solve in double-word (two-float)
+    arithmetic (:mod:`..ops.doublefloat`) — the TPU substitute for the
+    reference's float64 recurrences, ~48 significant bits on f32
+    hardware.  Probe histories come back single-word.
     """
+    if dtype == "f32x2":
+        if w_replace is not None:
+            raise NotImplementedError("w_replace is not supported in f32x2")
+        return _run_df(variant, A, b, x0, max_iter, preconditioner, probes,
+                       x_true, use_jit, print_every)
     op = as_operator(A, dtype=dtype)
     b = jnp.asarray(b, dtype=op.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
@@ -143,6 +153,94 @@ def run(
     final, hist = go(op, precond, b, x0, aux)
 
     output = {"name": variant, "max_iter": max_iter, "x": final["x"]}
+    for name in probe_fns:
+        output[name] = np.asarray(hist[name])
+    return output
+
+
+def _df_pieces(variant, A, b, x0, preconditioner):
+    """Shared setup for the double-word solve mode: DF operator, DF
+    rhs/initial guess, DF-aware preconditioner and context."""
+    from ..ops.doublefloat import (
+        DFJacobi,
+        DoubleFloatContext,
+        df_operator,
+        df_split,
+    )
+
+    op = df_operator(A)
+    b_df = df_split(np.asarray(b, np.float64))
+    x0_df = df_split(np.zeros(op.n) if x0 is None
+                     else np.asarray(x0, np.float64))
+    key, prec_flag = family_of(variant)
+    init_fn, step_fn = FAMILIES[key]
+    precond = None
+    if prec_flag:
+        if preconditioner in (None, "identity"):
+            precond = IdentityPreconditioner()
+        elif preconditioner == "jacobi" or isinstance(preconditioner, DFJacobi):
+            precond = (preconditioner if isinstance(preconditioner, DFJacobi)
+                       else DFJacobi.from_operator(op))
+        else:
+            raise NotImplementedError(
+                "f32x2 supports preconditioner None|'jacobi' (double-word "
+                "PCApply); got " + repr(preconditioner)
+            )
+    ctx_cls = DoubleFloatContext
+    return op, b_df, x0_df, init_fn, step_fn, precond, ctx_cls
+
+
+def _df_jit(fn):
+    """jit for double-word code: keep XLA from un-compensating the EFTs.
+
+    XLA's fusion pass duplicates cheap multiplies into consumer fusions,
+    where the backend contracts ``mul+add`` into fma — mathematically
+    "more accurate" per op, but it breaks the error-free-transform
+    invariant (``s = p + e`` becomes ``p + 2e`` when p is recomputed as
+    ``fma(a, b, e)``), collapsing double-word arithmetic back to single
+    precision (measured: -13.2 -> -7.8 log10 floor on bcsstk03).
+    ``optimization_barrier`` does NOT help — the barrier expander runs
+    before fusion.  Disabling the fusion pass for these (small,
+    accuracy-mode) programs preserves the written rounding exactly; if
+    a backend rejects the option, fall back to plain jit.
+    """
+    try:
+        return jax.jit(fn, compiler_options={
+            "xla_disable_hlo_passes": "fusion"})
+    except Exception:
+        return jax.jit(fn)
+
+
+def _run_df(variant, A, b, x0, max_iter, preconditioner, probes, x_true,
+            use_jit, print_every):
+    """Fixed-iteration history run in double-word arithmetic."""
+    from ..ops.doublefloat import df_split
+
+    op, b_df, x0_df, init_fn, step_fn, precond, ctx_cls = _df_pieces(
+        variant, A, b, x0, preconditioner
+    )
+    probe_fns = resolve_probes(probes)
+    aux = {"b": b_df}
+    if _needs_x_true(probe_fns):
+        if x_true is None:
+            x_true = _compute_x_true(op, np.asarray(b, np.float64))
+        # x_true split into (hi, lo) so the error probes subtract in
+        # double-word precision (a plain-f32 x_true would floor the
+        # measured error at f32 rounding, hiding exactly the effect
+        # this mode exists to remove)
+        aux["x_true"] = df_split(np.asarray(x_true, np.float64))
+
+    def go(op, precond, b, x0, aux):
+        ctx = ctx_cls(op, precond)
+        return history_scan(ctx, init_fn, step_fn, probe_fns, b, x0, max_iter,
+                            aux, print_every=print_every)
+
+    if use_jit:
+        go = _df_jit(go)
+    final, hist = go(op, precond, b_df, x0_df, aux)
+
+    output = {"name": variant, "max_iter": max_iter,
+              "x": final["x"].value64()}
     for name in probe_fns:
         output[name] = np.asarray(hist[name])
     return output
@@ -180,7 +278,28 @@ def solve(
       one dot per iteration.
     * ``'none'`` — fixed ``max_iter`` iterations, no convergence test
       (the scaling-experiment configuration, ``-ksp_norm_type none``).
+
+    ``dtype="f32x2"`` solves in double-word arithmetic (see :func:`run`).
     """
+    if dtype == "f32x2":
+        op, b_df, x0_df, init_fn, step_fn, precond, ctx_cls = _df_pieces(
+            variant, A, b, x0, preconditioner
+        )
+
+        def go_df(op, precond, b, x0):
+            ctx = ctx_cls(op, precond)
+            s, k, nrm, tol = tolerance_loop(
+                ctx, init_fn, step_fn, b, x0, max_iter, rtol, atol, norm_type
+            )
+            return s["x"], k, nrm, tol
+
+        if use_jit:
+            go_df = _df_jit(go_df)
+        x_df, k, nrm, tol = go_df(op, precond, b_df, x0_df)
+        return SolveResult(
+            x=x_df.value64(), iterations=int(k), norm=float(nrm),
+            converged=bool(norm_type == "none" or float(nrm) <= float(tol)),
+        )
     op = as_operator(A, dtype=dtype)
     b = jnp.asarray(b, dtype=op.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)

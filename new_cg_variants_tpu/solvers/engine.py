@@ -35,11 +35,13 @@ def history_scan(ctx, init_fn, step_fn, probe_fns, b, x0, length, aux,
     def body(s, _):
         s2 = step_fn(ctx, s)
         if print_every:
+            from ..ops.doublefloat import collapse
+
             jax.lax.cond(
                 s2["k"] % print_every == 0,
                 lambda: jax.debug.print(
                     "iter {k}: sqrt(nu) = {n}", k=s2["k"],
-                    n=jnp.sqrt(jnp.abs(s2["nu"])),
+                    n=jnp.sqrt(jnp.abs(collapse(s2["nu"]))),
                 ),
                 lambda: None,
             )
@@ -79,12 +81,14 @@ def tolerance_loop(ctx, init_fn, step_fn, b, x0, max_iter, rtol, atol, norm_type
     if in_batch:
         ctx.extra_norm = "r" if norm_type == "unpreconditioned" else "rt"
 
+    from ..ops.doublefloat import collapse
+
     def iter_norm(s):
         if norm_type == "none":
             return jnp.zeros((), dtype=s["nu"].dtype)
         if in_batch:
-            return jnp.sqrt(jnp.abs(s["rho"]))
-        return jnp.sqrt(jnp.abs(s["nu"]))
+            return jnp.sqrt(jnp.abs(collapse(s["rho"])))
+        return jnp.sqrt(jnp.abs(collapse(s["nu"])))
 
     state = init_fn(ctx, b, x0)
     if in_batch:
@@ -103,7 +107,9 @@ def tolerance_loop(ctx, init_fn, step_fn, b, x0, max_iter, rtol, atol, norm_type
         (bb,) = ctx.dots((bt, bt))
     else:
         (bb,) = ctx.dots((b, b))
-    tol = jnp.maximum(rtol * jnp.sqrt(jnp.abs(bb)), atol).astype(b.dtype)
+    tol = jnp.maximum(
+        rtol * jnp.sqrt(jnp.abs(collapse(bb))), atol
+    ).astype(b.dtype)
 
     def cond(carry):
         s, k, nrm = carry

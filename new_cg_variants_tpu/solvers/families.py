@@ -37,10 +37,35 @@ import jax.numpy as jnp
 __all__ = ["FAMILIES", "family_of", "make_gv_step"]
 
 
+def _safe_div(num, den):
+    """``num / den``, but 0 when ``den`` is exactly 0 — the
+    post-convergence stagnation guard.
+
+    The recurrence residual decays geometrically past the attainable
+    floor, so a long fixed-iteration f32 solve underflows ``nu`` (and its
+    siblings) to exact zero around ~20k iterations; the next
+    ``beta = 0/0`` would poison the whole state with NaN.  PETSc never
+    reaches that point because its convergence test breaks the loop
+    (``cg_impls/pipeprcg.c:112-136``); the fixed-iteration analog is to
+    FREEZE: with every alpha/beta formed through this guard, an exact
+    zero denominator yields alpha = beta = 0 and the iterate x stops
+    moving while staying finite.  For nonzero denominators the quotient
+    is bit-identical to the plain division.
+    """
+    from ..ops.doublefloat import DF, df_safe_div
+
+    if isinstance(num, DF) or isinstance(den, DF):
+        return df_safe_div(num, den)
+    safe = jnp.where(den != 0, den, jnp.ones_like(den))
+    return jnp.where(den != 0, num / safe, jnp.zeros_like(num))
+
+
 def _common_scalars(nu, mu, dtype):
-    zero = jnp.zeros((), dtype=dtype)
+    # zero scalars built LIKE nu so the loop-carry structure is stable
+    # for any scalar representation (plain array or double-float pair)
+    zero = jax.tree.map(jnp.zeros_like, nu)
     return dict(
-        nu=nu, mu=mu, a=nu / mu, a1=zero, a2=zero, b=zero, b1=zero,
+        nu=nu, mu=mu, a=_safe_div(nu, mu), a1=zero, a2=zero, b=zero, b1=zero,
         k=jnp.zeros((), jnp.int32),
     )
 
@@ -99,7 +124,7 @@ def hs_step(ctx, s_):
     extra = _norm_pair(ctx, r, rt)
     out = ctx.dots((r, rt), *extra)  # sync 1
     nu = out[0]
-    beta = nu / s_["nu"]
+    beta = _safe_div(nu, s_["nu"])
     # second sync phase fused (p update + SpMV + mu partial in one Pallas
     # pass) when the context/operator qualifies — cf. the always-fused
     # PETSc hot loop (cg_impls/cg.c); update order identical.  The phase
@@ -114,7 +139,7 @@ def hs_step(ctx, s_):
         p = rt + beta * s_["p"]
         s = ctx.mv(p)
         (mu,) = ctx.dots((p, s))  # sync 2
-    new = dict(x=x, r=r, p=p, s=s, nu=nu, mu=mu, a=nu / mu, b=beta)
+    new = dict(x=x, r=r, p=p, s=s, nu=nu, mu=mu, a=_safe_div(nu, mu), b=beta)
     if extra:
         new["rho"] = out[-1]
     if ctx.has_prec:
@@ -154,24 +179,24 @@ def cgcg_step(ctx, s_):
             fused = hook(s_, a1) if hook is not None else None
             if fused is not None:
                 x, r, w, (nu, eta) = fused
-                beta = nu / s_["nu"]
+                beta = _safe_div(nu, s_["nu"])
                 p = r + beta * s_["p"]  # rt = r (unpreconditioned)
                 s = w + beta * s_["s"]
-                mu = eta - (beta / a1) * nu
+                mu = eta - _safe_div(beta, a1) * nu
                 new = dict(x=x, r=r, w=w, p=p, s=s, nu=nu, eta=eta, mu=mu,
-                           a=nu / mu, b=beta)
+                           a=_safe_div(nu, mu), b=beta)
                 return _rotate(s_, new)
         else:
             hook = getattr(ctx, "cgcg_matvec_phase_prec", None)
             fused = hook(s_, a1) if hook is not None else None
             if fused is not None:
                 x, r, rt, w, (nu, eta) = fused
-                beta = nu / s_["nu"]
+                beta = _safe_div(nu, s_["nu"])
                 p = rt + beta * s_["p"]
                 s = w + beta * s_["s"]
-                mu = eta - (beta / a1) * nu
+                mu = eta - _safe_div(beta, a1) * nu
                 new = dict(x=x, r=r, w=w, p=p, s=s, nu=nu, eta=eta, mu=mu,
-                           a=nu / mu, b=beta, rt=rt)
+                           a=_safe_div(nu, mu), b=beta, rt=rt)
                 return _rotate(s_, new)
     x = s_["x"] + a1 * s_["p"]
     r = s_["r"] - a1 * s_["s"]
@@ -180,11 +205,11 @@ def cgcg_step(ctx, s_):
     extra = _norm_pair(ctx, r, rt)
     out = ctx.dots((r, rt), (w, rt), *extra)  # the single fused sync
     nu, eta = out[0], out[1]
-    beta = nu / s_["nu"]
+    beta = _safe_div(nu, s_["nu"])
     p = rt + beta * s_["p"]
     s = w + beta * s_["s"]
-    mu = eta - (beta / a1) * nu  # scalar recurrence replaces the mu dot
-    new = dict(x=x, r=r, w=w, p=p, s=s, nu=nu, eta=eta, mu=mu, a=nu / mu, b=beta)
+    mu = eta - _safe_div(beta, a1) * nu  # scalar recurrence replaces the mu dot
+    new = dict(x=x, r=r, w=w, p=p, s=s, nu=nu, eta=eta, mu=mu, a=_safe_div(nu, mu), b=beta)
     if extra:
         new["rho"] = out[-1]
     if ctx.has_prec:
@@ -245,27 +270,27 @@ def make_gv_step(w_replace=None, stateful=False):
                 fused = hook(s_, a1) if hook is not None else None
                 if fused is not None:
                     x, r, w, t, (nu, eta) = fused
-                    beta = nu / s_["nu"]
+                    beta = _safe_div(nu, s_["nu"])
                     p = r + beta * s_["p"]  # rt = r (unpreconditioned)
                     s = w + beta * s_["s"]
                     u = t + beta * s_["u"]
-                    mu = eta - (beta / a1) * nu
+                    mu = eta - _safe_div(beta, a1) * nu
                     new = dict(x=x, r=r, w=w, p=p, s=s, u=u, nu=nu,
-                               eta=eta, mu=mu, a=nu / mu, b=beta)
+                               eta=eta, mu=mu, a=_safe_div(nu, mu), b=beta)
                     return _rotate(s_, new)
             else:
                 hook = getattr(ctx, "gv_matvec_phase_prec", None)
                 fused = hook(s_, a1) if hook is not None else None
                 if fused is not None:
                     x, r, rt, w, wt, t, (nu, eta) = fused
-                    beta = nu / s_["nu"]
+                    beta = _safe_div(nu, s_["nu"])
                     p = rt + beta * s_["p"]
                     s = w + beta * s_["s"]
                     u = t + beta * s_["u"]
                     st = wt + beta * s_["st"]
-                    mu = eta - (beta / a1) * nu
+                    mu = eta - _safe_div(beta, a1) * nu
                     new = dict(x=x, r=r, w=w, p=p, s=s, u=u, nu=nu,
-                               eta=eta, mu=mu, a=nu / mu, b=beta,
+                               eta=eta, mu=mu, a=_safe_div(nu, mu), b=beta,
                                rt=rt, wt=wt, st=st)
                     return _rotate(s_, new)
         x = s_["x"] + a1 * s_["p"]
@@ -290,13 +315,13 @@ def make_gv_step(w_replace=None, stateful=False):
         extra = _norm_pair(ctx, r, rt)
         t, out = ctx.mv_dots(wt, ((r, rt), (w, rt)) + extra)
         nu, eta = out[0], out[1]
-        beta = nu / s_["nu"]
+        beta = _safe_div(nu, s_["nu"])
         p = rt + beta * s_["p"]
         s = w + beta * s_["s"]
         u = t + beta * s_["u"]
-        mu = eta - (beta / a1) * nu
+        mu = eta - _safe_div(beta, a1) * nu
         new = dict(
-            x=x, r=r, w=w, p=p, s=s, u=u, nu=nu, eta=eta, mu=mu, a=nu / mu, b=beta
+            x=x, r=r, w=w, p=p, s=s, u=u, nu=nu, eta=eta, mu=mu, a=_safe_div(nu, mu), b=beta
         )
         if new_wrep is not None:
             new["wrep"] = new_wrep
@@ -353,7 +378,7 @@ def make_pr_step(meurant: bool):
     def pr_step(ctx, s_):
         a1 = s_["a"]
         nu_pred = _predict_nu(meurant, s_)
-        beta_pred = nu_pred / s_["nu"]
+        beta_pred = _safe_div(nu_pred, s_["nu"])
         if getattr(ctx, "extra_norm", None) is None:
             # beta is PREDICTED (known at entry), so the whole iteration
             # fuses into one Pallas pass: x,r(,rt) updates + p update +
@@ -366,7 +391,7 @@ def make_pr_step(meurant: bool):
                 if fused is not None:
                     x, r, p, s, (mu, delta, gamma, nu) = fused
                     new = dict(x=x, r=r, p=p, s=s, nu=nu, mu=mu,
-                               delta=delta, gamma=gamma, a=nu / mu,
+                               delta=delta, gamma=gamma, a=_safe_div(nu, mu),
                                b=beta_pred)
                     return _rotate(s_, new)
             else:
@@ -375,7 +400,7 @@ def make_pr_step(meurant: bool):
                 if fused is not None:
                     x, r, rt, p, s, st_, (mu, delta, gamma, nu) = fused
                     new = dict(x=x, r=r, p=p, s=s, nu=nu, mu=mu,
-                               delta=delta, gamma=gamma, a=nu / mu,
+                               delta=delta, gamma=gamma, a=_safe_div(nu, mu),
                                b=beta_pred, rt=rt, st=st_)
                     return _rotate(s_, new)
         x = s_["x"] + a1 * s_["p"]
@@ -395,7 +420,7 @@ def make_pr_step(meurant: bool):
         mu, delta, gamma, nu = out[:4]
         new = dict(
             x=x, r=r, p=p, s=s, nu=nu, mu=mu, delta=delta, gamma=gamma,
-            a=nu / mu, b=beta,
+            a=_safe_div(nu, mu), b=beta,
         )
         if extra:
             new["rho"] = out[-1]
@@ -438,7 +463,7 @@ def make_pipe_step(meurant: bool, recompute: bool):
     def pipe_step(ctx, s_):
         a1 = s_["a"]
         nu_pred = _predict_nu(meurant, s_)
-        beta = nu_pred / s_["nu"]
+        beta = _safe_div(nu_pred, s_["nu"])
         if not ctx.has_prec:
             # whole-iteration fusion first: vector phase + dot partials +
             # both SpMVs as ONE Pallas pass over HBM (ops/fused_step.py
@@ -449,7 +474,7 @@ def make_pipe_step(meurant: bool, recompute: bool):
                 x, r, w, p, s, u, (mu, delta, gamma, nu) = fused
                 new = dict(
                     x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
-                    gamma=gamma, a=nu / mu, b=beta,
+                    gamma=gamma, a=_safe_div(nu, mu), b=beta,
                 )
                 return _rotate(s_, new)
             # fused vector phase: 5 updates + the single 4-dot sync in
@@ -465,7 +490,7 @@ def make_pipe_step(meurant: bool, recompute: bool):
                 u = ctx.mv(s)
             new = dict(
                 x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
-                gamma=gamma, a=nu / mu, b=beta,
+                gamma=gamma, a=_safe_div(nu, mu), b=beta,
             )
             return _rotate(s_, new)
         # Preconditioned path.  Whole-iteration fusion first (vector
@@ -480,7 +505,7 @@ def make_pipe_step(meurant: bool, recompute: bool):
             x, r, w, p, s, u, rt, st_, wt, ut, (mu, delta, gamma, nu) = fused
             new = dict(
                 x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
-                gamma=gamma, a=nu / mu, b=beta, rt=rt, st=st_, wt=wt, ut=ut,
+                gamma=gamma, a=_safe_div(nu, mu), b=beta, rt=rt, st=st_, wt=wt, ut=ut,
             )
             return _rotate(s_, new)
         vp = getattr(ctx, "pipe_vector_phase_prec", None)
@@ -495,7 +520,7 @@ def make_pipe_step(meurant: bool, recompute: bool):
             ut = ctx.prec(u)
             new = dict(
                 x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
-                gamma=gamma, a=nu / mu, b=beta, rt=rt, st=st_, wt=wt, ut=ut,
+                gamma=gamma, a=_safe_div(nu, mu), b=beta, rt=rt, st=st_, wt=wt, ut=ut,
             )
             return _rotate(s_, new)
         x = s_["x"] + a1 * s_["p"]
@@ -524,7 +549,7 @@ def make_pipe_step(meurant: bool, recompute: bool):
                 wt = ctx.prec(w)
         new = dict(
             x=x, r=r, p=p, s=s, w=w, u=u, nu=nu, mu=mu, delta=delta,
-            gamma=gamma, a=nu / mu, b=beta,
+            gamma=gamma, a=_safe_div(nu, mu), b=beta,
         )
         if extra:
             new["rho"] = out[-1]
