@@ -68,9 +68,14 @@ def safe_iters(op, iters, matvecs_per_iter=2):
     stored value) and is modeled at its measured ~1 Tflop/s-class padded
     throughput so the guard doesn't spuriously shorten its chunks.
     """
-    from new_cg_variants_tpu.ops.block_banded import BlockBandedOperator
+    from new_cg_variants_tpu.ops.block_banded import (
+        BlockBandedOperator,
+        PermutedBlockBandedOperator,
+    )
     from new_cg_variants_tpu.ops.operators import EllOperator
 
+    if isinstance(op, PermutedBlockBandedOperator):
+        op = op.inner
     if isinstance(op, EllOperator):
         elems_per_s = GATHER_ELEMS_PER_S
         work = op.nnz
@@ -169,6 +174,14 @@ def main():
         "padded_values": int(np.prod(op3.a_blk.shape)),
     }
     measure("bcsstk18_block_banded", op3, b3,
+            [("hs_cg", 1), ("pipe_pr_cg", 2)], 2000, results)
+
+    # 4. the AUTO route (VERDICT r3 task 6): from_coo(fmt='auto') must
+    #    land bcsstk18 on the block-banded fast path TRANSPARENTLY
+    #    (original coordinates — same b as the gather arm)
+    op5 = from_coo(coo, fmt="auto", dtype=dtype)
+    results["bcsstk18_auto"] = {"routed_to": type(op5).__name__, "n": op5.n}
+    measure("bcsstk18_auto", op5, b,
             [("hs_cg", 1), ("pipe_pr_cg", 2)], 2000, results)
 
     OUT.write_text(json.dumps(results, indent=1))

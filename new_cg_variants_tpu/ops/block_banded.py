@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BlockBandedOperator", "block_banded_from_coo"]
+__all__ = [
+    "BlockBandedOperator",
+    "block_banded_from_coo",
+    "PermutedBlockBandedOperator",
+    "rcm_band_probe",
+]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -127,6 +132,92 @@ class BlockBandedOperator:
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PermutedBlockBandedOperator:
+    """Presents a reordered block-banded operator in ORIGINAL coordinates.
+
+    ``inner`` represents ``P A P^T`` (padded); ``perm`` is the
+    original->reordered row map.  ``mv`` costs two O(n) permutation
+    gathers around the inner MXU matmul — negligible against the block
+    work — so a general sparse matrix routed here by
+    :func:`~.operators.from_coo` ``fmt='auto'`` behaves exactly like any
+    other operator (same b, same x) while running ~30x faster than the
+    gather-ELL formulation (PERF.md, bcsstk18).  The PETSc analog is
+    ``mpiaij`` accepting arbitrary patterns (``cg_impls/pipeprcg.c:162``);
+    the TPU answer restructures instead of gathering.
+    """
+
+    inner: BlockBandedOperator
+    perm: jnp.ndarray  # (n_orig,) int32
+
+    @property
+    def n(self) -> int:
+        return self.inner.n_orig
+
+    @property
+    def nnz(self) -> int:
+        return self.inner.nnz
+
+    @property
+    def dtype(self):
+        return self.inner.dtype
+
+    def _permute_in(self, v):
+        vp = jnp.zeros((self.inner.n,) + v.shape[1:], v.dtype)
+        return vp.at[: self.n].set(v[self.perm])
+
+    def _permute_out(self, w):
+        out = jnp.zeros((self.n,) + w.shape[1:], w.dtype)
+        return out.at[self.perm].set(w[: self.n])
+
+    def mv(self, v):
+        return self._permute_out(self.inner.mv(self._permute_in(v)))
+
+    def mv2(self, v, w):
+        y, z = self.inner.mv2(self._permute_in(v), self._permute_in(w))
+        return self._permute_out(y), self._permute_out(z)
+
+    def diagonal(self):
+        return self._permute_out(self.inner.diagonal())
+
+    def astype(self, dtype):
+        return PermutedBlockBandedOperator(self.inner.astype(dtype), self.perm)
+
+    def tocsr(self):
+        import scipy.sparse as sp
+
+        csr = self.inner.tocsr()[: self.n, : self.n]
+        inv = np.empty(self.n, dtype=np.int64)
+        inv[np.asarray(self.perm)] = np.arange(self.n)
+        # inner = A[perm][:, perm]; invert both axes to recover A
+        return sp.csr_matrix(csr[inv][:, inv])
+
+    def todense(self):
+        return jnp.asarray(self.tocsr().toarray())
+
+    def tree_flatten(self):
+        return (self.inner, self.perm), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def rcm_band_probe(coo) -> int:
+    """Bandwidth of the matrix after the better of {natural, RCM} order."""
+    csr = coo.tocsr()
+    row = np.asarray(coo.row)
+    col = np.asarray(coo.col)
+    bw = int(np.abs(row - col).max()) if len(row) else 0
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    p = np.asarray(reverse_cuthill_mckee(csr, symmetric_mode=True))
+    a2 = csr[p][:, p].tocoo()
+    bw_rcm = int(np.abs(a2.row - a2.col).max()) if a2.nnz else 0
+    return min(bw, bw_rcm)
 
 
 def block_banded_from_coo(coo, dtype=jnp.float32, reorder="auto"):
