@@ -74,8 +74,15 @@ def time_fixed_iters(variant, op, b, iters, chunks=2, trials=3,
     import jax
     import jax.numpy as jnp
 
+    from new_cg_variants_tpu.ops.block_banded import solver_basis
     from new_cg_variants_tpu.solvers.api import _resolve
     from new_cg_variants_tpu.solvers.context import Context
+
+    # auto-routed permuted operators: solve in the reordered basis (two
+    # O(n) permutations per solve, none per timed iteration — api.run
+    # does the same); the returned state's x is mapped back below
+    op, _to_basis, _from_basis = solver_basis(op)
+    b = _to_basis(b)
 
     init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
 
@@ -116,6 +123,7 @@ def time_fixed_iters(variant, op, b, iters, chunks=2, trials=3,
     # the timed state solves a perturbed rhs; re-derive x-error from a
     # fresh warm call on the true rhs
     s_true = run_iters(op, b)
+    s_true = dict(s_true, x=_from_basis(s_true["x"]))
     return best / (chunks * iters), s_true
 
 

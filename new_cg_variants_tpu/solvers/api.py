@@ -132,6 +132,16 @@ def run(
     op = as_operator(A, dtype=dtype)
     b = jnp.asarray(b, dtype=op.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
+    if _needs_x_true(resolve_probes(probes)) and x_true is None:
+        x_true = _compute_x_true(op, b)
+    # auto-routed block-banded operators solve in the REORDERED basis:
+    # permute b/x0/x_true once here instead of gathering every matvec
+    # (iteration norms are permutation-invariant)
+    from ..ops.block_banded import solver_basis
+
+    op, _to_basis, _from_basis = solver_basis(op)
+    b = _to_basis(b)
+    x0 = _to_basis(x0)
     init_fn, step_fn, precond = _resolve(
         variant, op, preconditioner, w_replace, w_replace_init
     )
@@ -139,9 +149,7 @@ def run(
 
     aux = {"b": b}
     if _needs_x_true(probe_fns):
-        if x_true is None:
-            x_true = _compute_x_true(op, b)
-        aux["x_true"] = jnp.asarray(x_true, dtype=op.dtype)
+        aux["x_true"] = _to_basis(jnp.asarray(x_true, dtype=op.dtype))
 
     def go(op, precond, b, x0, aux):
         ctx = Context(op, precond, compensated=compensated)
@@ -152,9 +160,13 @@ def run(
         go = jax.jit(go)
     final, hist = go(op, precond, b, x0, aux)
 
-    output = {"name": variant, "max_iter": max_iter, "x": final["x"]}
+    output = {"name": variant, "max_iter": max_iter,
+              "x": _from_basis(final["x"])}
     for name in probe_fns:
-        output[name] = np.asarray(hist[name])
+        h = hist[name]
+        if getattr(h, "ndim", 1) == 2 and h.shape[1] == op.n:
+            h = jax.vmap(_from_basis)(h)  # vector probes back to original
+        output[name] = np.asarray(h)
     return output
 
 
@@ -303,6 +315,13 @@ def solve(
     op = as_operator(A, dtype=dtype)
     b = jnp.asarray(b, dtype=op.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
+    # auto-routed block-banded operators: solve in the reordered basis
+    # (see run()); two O(n) permutations per solve, none per iteration
+    from ..ops.block_banded import solver_basis
+
+    op, _to_basis, _from_basis = solver_basis(op)
+    b = _to_basis(b)
+    x0 = _to_basis(x0)
     init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
 
     def go(op, precond, b, x0):
@@ -316,7 +335,7 @@ def solve(
         go = jax.jit(go)
     x, k, nrm, tol = go(op, precond, b, x0)
     return SolveResult(
-        x=x,
+        x=_from_basis(x),
         iterations=int(k),
         norm=float(nrm),
         converged=bool(norm_type == "none" or float(nrm) <= float(tol)),

@@ -133,6 +133,12 @@ _OPS_THREAD = re.compile(r"XLA Ops|TensorFlow Ops", re.I)
 _NON_OP_THREAD = re.compile(r"XLA Modules|Steps|Framework|Source|Scoped|"
                             r"Host Threads", re.I)
 
+# Control-flow WRAPPER events (`while.N`, `condition`/`body` calls): their
+# duration covers every op executed inside them, so counting them next to
+# the member ops doubles the total (round-4 chip trace: a single while.10
+# event carried 50% of "device time" — all of it re-counted body work).
+_WRAPPER_OP = re.compile(r"^(while|condition|body|call)[\.\d]*$", re.I)
+
 
 def _device_events(events: list[dict]) -> list[dict]:
     dev = [e for e in events if _DEVICE_LANE.search(e["lane"] or "")
@@ -142,10 +148,10 @@ def _device_events(events: list[dict]) -> list[dict]:
         # time; use ONLY the per-op thread lane when present, else drop
         # the known whole-program/step summary lanes
         ops = [e for e in dev if _OPS_THREAD.search(e.get("thread", "") or "")]
-        if ops:
-            return ops
-        return [e for e in dev
-                if not _NON_OP_THREAD.search(e.get("thread", "") or "")]
+        if not ops:
+            ops = [e for e in dev
+                   if not _NON_OP_THREAD.search(e.get("thread", "") or "")]
+        return [e for e in ops if not _WRAPPER_OP.match(e["name"])]
     return [e for e in events if not _HOST_NOISE.search(e["name"])]
 
 

@@ -72,6 +72,27 @@ def test_irreducible_matrix_warns_and_falls_back_to_ell():
     assert isinstance(op, EllOperator)
 
 
+def test_run_hoists_permutation_and_returns_original_coords():
+    """run() solves in the reordered basis (no per-iteration permutation
+    gathers) but every output — x and vector probe histories — comes
+    back in ORIGINAL coordinates at the ORIGINAL dimension."""
+    coo = cgt.load_matrix("1138_bus")
+    op = from_coo(coo, fmt="auto", dtype=np.float64)
+    n = coo.shape[0]
+    x_true = np.ones(n) / np.sqrt(n)
+    b = coo.tocsr() @ x_true
+    out = cgt.run("hs_pcg", op, b, max_iter=900, preconditioner="jacobi",
+                  probes=("error_A_norm", "save_x"), x_true=x_true)
+    assert out["save_x"].shape == (900, n)
+    err = np.linalg.norm(out["x"] - x_true) / np.linalg.norm(x_true)
+    assert err < 1e-6, err
+    # final save_x row must equal the returned x (both original coords)
+    np.testing.assert_allclose(out["save_x"][-1], np.asarray(out["x"]),
+                               rtol=1e-12, atol=1e-15)
+    rel = out["error_A_norm"] / out["error_A_norm"][0]
+    assert np.nanmin(rel) < 1e-5
+
+
 def test_small_and_banded_routing_unchanged():
     assert choose_format(cgt.load_matrix("bcsstk03")) == "dense"
     assert choose_format(cgt.load_matrix("nos3")) == "dia"
