@@ -45,8 +45,10 @@ def _add_problem_args(p):
                    help="off-diagonal value (banded problem)")
     p.add_argument("--matrix", type=str, default=None,
                    help="fixture name or .mtx path (--problem mtx)")
-    p.add_argument("--dtype", choices=["f32", "f64", "bf16"], default=None,
-                   help="compute dtype (default: backend native)")
+    p.add_argument("--dtype", choices=["f32", "f64", "bf16", "f32x2"],
+                   default=None,
+                   help="compute dtype (default: backend native); f32x2 = "
+                        "double-word arithmetic, the on-chip f64 substitute")
 
 
 def _build_problem(args):
@@ -78,7 +80,7 @@ def _dtype(args):
     import jax.numpy as jnp
 
     return {None: None, "f32": jnp.float32, "f64": jnp.float64,
-            "bf16": jnp.bfloat16}[args.dtype]
+            "bf16": jnp.bfloat16, "f32x2": "f32x2"}[args.dtype]
 
 
 def cmd_solve(args):
@@ -95,6 +97,8 @@ def cmd_solve(args):
         variant=args.ksp_type, rtol=args.rtol, max_iter=args.max_iter,
         preconditioner=prec, norm_type=args.ksp_norm_type, dtype=dtype,
     )
+    if dtype == "f32x2" and args.devices > 1:
+        raise SystemExit("--dtype f32x2 is single-device (accuracy mode)")
     times = []
     for _ in range(args.num_repeat):
         t0 = time.perf_counter()

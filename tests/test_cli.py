@@ -27,6 +27,15 @@ def test_solve_mtx_fixture(capsys):
     assert "iterations=" in capsys.readouterr().out
 
 
+def test_solve_f32x2(capsys):
+    rc = main(["solve", "--problem", "banded", "-n", "1024", "-k", "4",
+               "--kappa", "100", "--ksp-type", "pipe_pr_cg",
+               "--dtype", "f32x2", "--rtol", "1e-9", "--max-iter", "500"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "converged=True" in out
+
+
 def test_solve_distributed(capsys):
     rc = main(["solve", "--problem", "banded", "-n", "2048", "-k", "4",
                "--kappa", "100", "--devices", "4", "--partition", "row",
