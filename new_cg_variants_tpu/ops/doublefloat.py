@@ -401,6 +401,10 @@ def df_operator(A, fmt: str = "auto") -> DFOperator:
 
     if isinstance(A, DFOperator):
         return A
+    if hasattr(A, "tocoo") and not isinstance(A, (np.ndarray, CooMatrix)):
+        from .operators import coo_from_scipy
+
+        A = coo_from_scipy(A)  # scipy sparse input
     if isinstance(A, CooMatrix):
         if fmt == "auto":
             fmt = choose_format(A)

@@ -433,17 +433,35 @@ def from_coo(coo, fmt: str = "auto", dtype=jnp.float64, dia_max_diags: int = 256
 
 
 def as_operator(a, dtype=None):
-    """Coerce an array / operator / CooMatrix into an operator.
+    """Coerce an array / operator / CooMatrix / scipy matrix into an
+    operator.
 
     Anything exposing the operator protocol (``mv``/``mv2``/``diagonal``)
     passes through — e.g. :class:`~.stencil.BandedStencilOperator` or a
-    user-defined matrix-free operator.
+    user-defined matrix-free operator.  scipy sparse matrices (the
+    reference solvers' native input type, ``cg_variants/hs_cg.py:9``)
+    are accepted directly and routed by the auto format policy.
     """
     from ..matio.matrix_market import CooMatrix
 
     if hasattr(a, "mv") and hasattr(a, "diagonal"):
         return a if dtype is None else a.astype(dtype)
+    if hasattr(a, "tocoo") and not isinstance(a, np.ndarray):  # scipy sparse
+        a = coo_from_scipy(a)
     if isinstance(a, CooMatrix):
         return from_coo(a, dtype=dtype or jnp.float64)
     arr = jnp.asarray(a, dtype=dtype)
     return DenseOperator(arr)
+
+
+def coo_from_scipy(a):
+    """scipy sparse (any format) -> :class:`~..matio.matrix_market.CooMatrix`."""
+    from ..matio.matrix_market import CooMatrix
+
+    c = a.tocoo()
+    return CooMatrix(
+        shape=tuple(c.shape),
+        row=np.asarray(c.row, dtype=np.int64),
+        col=np.asarray(c.col, dtype=np.int64),
+        val=np.asarray(c.data, dtype=np.float64),
+    )

@@ -245,18 +245,25 @@ def dist_run(
         op = op.astype(dtype)
     if mesh is None:
         mesh = make_mesh()
+    if any(name.startswith("error") for name in resolve_probes(probes)):
+        if x_true is None:
+            x_true = _compute_x_true(op, jnp.asarray(b, dtype=op.dtype))
+    # auto-routed permuted block-banded operators: hoist the permutation
+    # to the (host-side, pre-shard) solve boundary, exactly as api.run
+    from ..ops.block_banded import solver_basis
+
+    op, _to_basis, _from_basis = solver_basis(op)
     partition = _check_partition(op, partition)
-    b = jnp.asarray(b, dtype=op.dtype)
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
+    b = _to_basis(jnp.asarray(b, dtype=op.dtype))
+    x0 = (jnp.zeros_like(b) if x0 is None
+          else _to_basis(jnp.asarray(x0, dtype=op.dtype)))
     init_fn, step_fn, precond = _resolve(variant, op, preconditioner,
                                      w_replace, w_replace_init)
     probe_fns = resolve_probes(probes)
 
     aux_global = {"b": b}
     if any(name.startswith("error") for name in probe_fns):
-        if x_true is None:
-            x_true = _compute_x_true(op, b)
-        aux_global["x_true"] = jnp.asarray(x_true, dtype=op.dtype)
+        aux_global["x_true"] = _to_basis(jnp.asarray(x_true, dtype=op.dtype))
 
     operands, op_specs, build_ctx = _local_ctx_factory(
         op, partition, mesh, precond, compensated, col_packed
@@ -283,9 +290,13 @@ def dist_run(
         return final["x"], hist, final["nu"]
 
     x, hist, nu = jax.jit(body)(operands, b, x0, aux_global)
-    output = {"name": variant, "max_iter": max_iter, "x": x, "nu": np.asarray(nu)}
+    output = {"name": variant, "max_iter": max_iter, "x": _from_basis(x),
+              "nu": np.asarray(nu)}
     for name in probe_fns:
-        output[name] = np.asarray(hist[name])
+        h = hist[name]
+        if getattr(h, "ndim", 1) == 2 and h.shape[1] == op.n:
+            h = jax.vmap(_from_basis)(h)
+        output[name] = np.asarray(h)
     return output
 
 
@@ -310,9 +321,14 @@ def dist_solve(
         op = op.astype(dtype)
     if mesh is None:
         mesh = make_mesh()
+    # hoist auto-route permutations to the solve boundary (see dist_run)
+    from ..ops.block_banded import solver_basis
+
+    op, _to_basis, _from_basis = solver_basis(op)
     partition = _check_partition(op, partition)
-    b = jnp.asarray(b, dtype=op.dtype)
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
+    b = _to_basis(jnp.asarray(b, dtype=op.dtype))
+    x0 = (jnp.zeros_like(b) if x0 is None
+          else _to_basis(jnp.asarray(x0, dtype=op.dtype)))
     init_fn, step_fn, precond = _resolve(variant, op, preconditioner)
     operands, op_specs, build_ctx = _local_ctx_factory(
         op, partition, mesh, precond, compensated, col_packed
@@ -333,7 +349,7 @@ def dist_solve(
 
     x, k, nrm, tol = jax.jit(body)(operands, b, x0)
     return SolveResult(
-        x=x,
+        x=_from_basis(x),
         iterations=int(k),
         norm=float(nrm),
         converged=bool(norm_type == "none" or float(nrm) <= float(tol)),

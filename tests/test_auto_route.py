@@ -9,6 +9,7 @@ accept-anything behavior with a TPU-appropriate restructuring step.
 
 import warnings
 
+import jax
 import numpy as np
 import pytest
 
@@ -16,6 +17,15 @@ import new_cg_variants_tpu as cgt
 from new_cg_variants_tpu.matio.matrix_market import CooMatrix
 from new_cg_variants_tpu.ops.block_banded import PermutedBlockBandedOperator
 from new_cg_variants_tpu.ops.operators import EllOperator, choose_format, from_coo
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    from new_cg_variants_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(8)
 
 
 def test_bcsstk18_routes_to_block_banded():
@@ -96,3 +106,64 @@ def test_run_hoists_permutation_and_returns_original_coords():
 def test_small_and_banded_routing_unchanged():
     assert choose_format(cgt.load_matrix("bcsstk03")) == "dense"
     assert choose_format(cgt.load_matrix("nos3")) == "dia"
+
+
+def test_scipy_sparse_input_accepted():
+    """The reference solvers take scipy CSR directly
+    (``cg_variants/hs_cg.py:9``); so does this API."""
+    coo = cgt.load_matrix("bcsstk03")
+    csr = coo.tocsr()
+    n = csr.shape[0]
+    x_true = np.ones(n) / np.sqrt(n)
+    b = csr @ x_true
+    out = cgt.run("hs_pcg", csr, b, max_iter=200, preconditioner="jacobi",
+                  probes=("error_A_norm",), x_true=x_true, dtype=np.float64)
+    rel = out["error_A_norm"] / out["error_A_norm"][0]
+    assert np.nanmin(rel) < 1e-10
+    res = cgt.solve(csr, b, variant="pipe_pr_pcg", preconditioner="jacobi",
+                    rtol=1e-8, max_iter=500, dtype=np.float64)
+    assert res.converged
+    # and in f32x2 mode
+    out2 = cgt.run("hs_pcg", csr, b, max_iter=150, preconditioner="jacobi",
+                   probes=("error_A_norm",), x_true=x_true, dtype="f32x2")
+    rel2 = out2["error_A_norm"] / out2["error_A_norm"][0]
+    # 150 iterations is mid-descent on bcsstk03 (floor needs ~200+);
+    # well below the plain-f32 floor (~1e-5.5) proves f32x2 engaged
+    assert np.nanmin(rel2) < 1e-6
+
+
+def _shuffled_banded_coo(n=4096, k=100, seed=3):
+    """Banded SPD matrix under a random symmetric permutation: the auto
+    policy must RCM it back to a tight band and pick block_banded."""
+    rng = np.random.default_rng(seed)
+    i = np.repeat(np.arange(n), 3)
+    offs = np.tile(np.array([-k, 0, k]), n)
+    j = i + offs
+    keep = (j >= 0) & (j < n)
+    i, j = i[keep], j[keep]
+    vals = np.where(i == j, 4.0, -1.0)
+    p = rng.permutation(n)
+    return CooMatrix(shape=(n, n), row=p[i], col=p[j], val=vals)
+
+
+def test_distributed_auto_route(mesh8):
+    """Auto-routed operators compose with the distributed layer: the
+    permutation is hoisted to the host boundary and the inner
+    block-banded operator shards by block rows."""
+    import warnings
+
+    from new_cg_variants_tpu.parallel import dist_solve
+
+    coo = _shuffled_banded_coo()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        op = from_coo(coo, fmt="auto", dtype=np.float64)
+    assert isinstance(op, PermutedBlockBandedOperator)
+    n = coo.shape[0]
+    x_true = np.ones(n) / np.sqrt(n)
+    b = coo.tocsr() @ x_true
+    res = dist_solve(op, b, variant="pipe_pr_cg", mesh=mesh8, rtol=1e-10,
+                     max_iter=2000, dtype=np.float64)
+    assert res.converged
+    err = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
+    assert err < 1e-8, err
