@@ -79,9 +79,12 @@ def banded_model(
     ``off_value`` (band condition ``|i-j| < k``, matching ``ex2a.c:86-90``);
     nnz/row is ``2k - 1`` in the interior.
 
-    ``fmt='dia'`` returns the general DIA operator; ``fmt='stencil'``
-    returns the matrix-free :class:`~..ops.stencil.BandedStencilOperator`
-    (O(n) matvec, no matrix storage — the constant-band fast path).
+    ``fmt='dia'`` returns the general DIA operator; ``fmt='symdia'``
+    the symmetric half-band storage (:class:`~..ops.sym_dia.
+    SymDiaOperator` — half the matrix traffic, SPD-only);
+    ``fmt='stencil'`` the matrix-free :class:`~..ops.stencil.
+    BandedStencilOperator` (O(n) matvec, no matrix storage — the
+    constant-band fast path).
 
     Returns ``(op, b, x_true)`` with ``x_true = 1`` (the PETSc drivers'
     exact solution ``u = 1``) and ``b = A @ x_true``.
@@ -97,6 +100,21 @@ def banded_model(
         op = BandedStencilOperator(
             jnp.asarray(diag), jnp.asarray(off_value, dtype=diag.dtype), k
         )
+        x_true = np.ones(n, dtype=dtype)
+        counts = np.minimum(np.arange(n), k - 1) + np.minimum(
+            n - 1 - np.arange(n), k - 1
+        )
+        b = diag + off_value * counts
+        return op, b, x_true
+    if fmt == "symdia":
+        from ..ops.sym_dia import SymDiaOperator
+
+        offsets = tuple(range(k))
+        data = np.full((k, n), off_value, dtype=dtype)
+        data[0] = diag
+        for d in range(1, k):
+            data[d, n - d :] = 0.0
+        op = SymDiaOperator(offsets, data)
         x_true = np.ones(n, dtype=dtype)
         counts = np.minimum(np.arange(n), k - 1) + np.minimum(
             n - 1 - np.arange(n), k - 1
