@@ -55,12 +55,18 @@ def _sym_kernel(offsets, tile, h, nrhs, *refs):
     runs sequentially (ARBITRARY semantics), so scratch persists across
     steps and the half-band is read exactly once.
 
-    Mosaic shape notes: static slices/concats whose offset falls outside
-    the first (8,128) tile are unsupported ("Input offsets outside of
-    the first tile"), so the right-shift uses ``pltpu.roll`` — the
-    rolled vector carries the in-tile contribution at rows [off, tile)
-    and the next tile's spill at rows [0, off), separated by iota masks
-    (no unaligned slicing, no unequal-width concatenation).
+    Mosaic shape notes (all probed on the real toolchain): every 1-D
+    realization of a small RIGHT shift is unsupported — deep tail slices
+    and lane-offset>=128 concats hit "Input offsets outside of the first
+    tile", and a 1-D ``pltpu.roll`` lowers to an unimplemented
+    ``tpu.dynamic_rotate``.  The shift is therefore decomposed in the
+    native (sublane, lane) layout: reshape the tile to (tile/128, 128),
+    lane-rotate by ``off``, sublane-rotate the result by 1, and select —
+    ``y[r, c] = x[r, c-off]`` for lanes ``c >= off`` comes from the lane
+    rotate, lanes ``c < off`` take the previous row's wrapped values
+    from the sublane rotate, and the (row 0, c < off) wraparound cells
+    are EXACTLY the next tile's spill (row R-1's tail), split off by the
+    same mask.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -71,7 +77,9 @@ def _sym_kernel(offsets, tile, h, nrhs, *refs):
     spill_refs = refs[1 + 3 * nrhs :]
 
     step = pl.program_id(0)
-    lane = jax.lax.iota(jnp.int32, tile)
+    rows = tile // 128
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
     for r in range(nrhs):
         window = jnp.concatenate([v_refs[2 * r][:], v_refs[2 * r + 1][:]])
         v_local = window[h : h + tile]
@@ -85,10 +93,13 @@ def _sym_kernel(offsets, tile, h, nrhs, *refs):
         new_spill = jnp.zeros((tile,), acc.dtype)
         for d in range(1, len(offsets)):
             off = offsets[d]
-            ru = pltpu.roll(data_ref[d, :] * v_local, off, 0)
-            in_tile = lane >= off
-            acc = acc + jnp.where(in_tile, ru, 0.0)
-            new_spill = new_spill + jnp.where(in_tile, 0.0, ru)
+            u2 = (data_ref[d, :] * v_local).reshape(rows, 128)
+            rl = pltpu.roll(u2, off, 1)
+            rd = pltpu.roll(rl, 1, 0)
+            y = jnp.where(lane2 >= off, rl, rd)
+            spill_mask = (row2 == 0) & (lane2 < off)
+            acc = acc + jnp.where(spill_mask, 0.0, y).reshape(tile)
+            new_spill = new_spill + jnp.where(spill_mask, y, 0.0).reshape(tile)
         spill_refs[r][:] = new_spill
         out_refs[r][:] = acc
 
@@ -148,6 +159,12 @@ def _pad_sym(offsets, data, vs, tile):
     h = max(int(o) for o in offsets)
     if h and (2 * h > tile):
         raise ValueError(f"halo {h} too wide for tile {tile}")
+    if h >= 128:
+        # the (lane rotate + one sublane carry) decomposition covers
+        # shifts < one lane row; wider bands need a multi-row carry
+        raise ValueError(f"half-band {h} >= 128 unsupported by the kernel")
+    if tile % 128:
+        raise ValueError(f"tile {tile} must be a multiple of 128")
     n = data.shape[1]
     n_pad = _round_up(n, tile)
     if n_pad != n:
@@ -212,28 +229,19 @@ class SymDiaOperator:
         return self.data.dtype
 
     def _use_pallas(self) -> bool:
-        """Kernel dispatch — currently OPT-IN (``NCGV_SYMDIA_KERNEL=1``).
-
-        The mirror-spill kernel is verified in interpret mode (full test
-        parity vs the two-triangle DIA operator) but the current Mosaic
-        toolchain rejects every 1-D realization of a small RIGHT shift:
-        tail slices (``u[tile-off:]``) hit "Input offsets outside of the
-        first tile", unequal-width concatenation at lane offsets >= 128
-        the same, and ``pltpu.roll`` on 1-D vectors lowers to an
-        unimplemented ``tpu.dynamic_rotate`` ("Unsupported 1D shape").
-        The forward path is a 2-D (sublane, lane) reformulation — lane
-        rotate + sublane carry — left for the next round; until then the
-        TPU default is the (correct, slower) XLA fallback, and the
-        half-band operator is useful for its 2x memory saving.
-        """
+        """Kernel dispatch: on by default on TPU for half-bands < 128
+        (the lane-rotate + single-sublane-carry decomposition's domain);
+        ``NCGV_SYMDIA_KERNEL=0`` or ``NCGV_DISABLE_PALLAS`` fall back to
+        the XLA mirror formulation."""
         import os
 
         if os.environ.get("NCGV_DISABLE_PALLAS"):
             return False
-        if not os.environ.get("NCGV_SYMDIA_KERNEL"):
+        if os.environ.get("NCGV_SYMDIA_KERNEL", "") == "0":
             return False
         h = max(int(o) for o in self.offsets)
-        return jax.default_backend() == "tpu" and 2 * h <= DEFAULT_TILE
+        return (jax.default_backend() == "tpu" and h < 128
+                and 2 * h <= DEFAULT_TILE)
 
     def mv(self, v):
         if self._use_pallas():
