@@ -242,7 +242,22 @@ def solver_basis(op):
 
 
 def rcm_band_probe(coo) -> int:
-    """Bandwidth of the matrix after the better of {natural, RCM} order."""
+    """Bandwidth of the matrix after the better of {natural, RCM} order.
+
+    The probe's full result (both bandwidths + the RCM permutation) is
+    memoized on the COO object so :func:`block_banded_from_coo` on the
+    same matrix skips recomputing the RCM and the permuted pattern —
+    ``choose_format`` + the subsequent build used to do the O(nnz)
+    reorder twice.
+    """
+    return _rcm_probe_full(coo)[0]
+
+
+def _rcm_probe_full(coo):
+    """``(min_bw, bw_natural, bw_rcm, rcm_perm)``, memoized on ``coo``."""
+    cached = getattr(coo, "_rcm_probe_cache", None)
+    if cached is not None:
+        return cached
     csr = coo.tocsr()
     row = np.asarray(coo.row)
     col = np.asarray(coo.col)
@@ -252,7 +267,12 @@ def rcm_band_probe(coo) -> int:
     p = np.asarray(reverse_cuthill_mckee(csr, symmetric_mode=True))
     a2 = csr[p][:, p].tocoo()
     bw_rcm = int(np.abs(a2.row - a2.col).max()) if a2.nnz else 0
-    return min(bw, bw_rcm)
+    result = (min(bw, bw_rcm), bw, bw_rcm, p)
+    try:
+        coo._rcm_probe_cache = result
+    except Exception:
+        pass  # attribute-less containers just skip the memo
+    return result
 
 
 def block_banded_from_coo(coo, dtype=jnp.float32, reorder="auto"):
@@ -272,12 +292,10 @@ def block_banded_from_coo(coo, dtype=jnp.float32, reorder="auto"):
     perm = np.arange(n)
     row, col, val = row0, col0, np.asarray(coo.val, dtype=np.float64)
     if reorder in ("auto", "rcm"):
-        from scipy.sparse.csgraph import reverse_cuthill_mckee
-
-        p = np.asarray(reverse_cuthill_mckee(csr, symmetric_mode=True))
-        a2 = csr[p][:, p].tocoo()
-        bw_rcm = int(np.abs(a2.row - a2.col).max()) if a2.nnz else 0
+        # reuse the choose_format probe's memoized RCM when available
+        _, _, bw_rcm, p = _rcm_probe_full(coo)
         if reorder == "rcm" or bw_rcm < bw_nat:
+            a2 = csr[p][:, p].tocoo()
             perm, row, col, val = p, a2.row, a2.col, a2.data
             bw_nat = bw_rcm
 

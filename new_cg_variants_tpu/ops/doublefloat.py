@@ -412,6 +412,11 @@ def df_operator(A, fmt: str = "auto") -> DFOperator:
                 # accuracy mode has no block-banded DF kernels; the
                 # gather formulation is fine at experiment sizes
                 fmt = "ell"
+            elif fmt in ("symdia", "stencil"):
+                # accuracy mode carries the full two-triangle band: the
+                # half-band/stencil formulations are traffic
+                # optimizations, and DF solves are compute-bound anyway
+                fmt = "dia"
         if fmt == "dense":
             hi, lo, lo2 = df_split3(build_dense(A))
             return DFOperator(DenseOperator(hi), lo, lo2)

@@ -327,6 +327,31 @@ def build_dia(coo) -> tuple:
     return offsets, data
 
 
+def build_sym_dia(coo) -> tuple:
+    """Host-side f64 symmetric half-band layout ``(offsets, data)``.
+
+    Stores main + upper diagonals only (``offsets >= 0``, 0 first);
+    ``data[d, i] = A[i, i + offsets[d]]`` with explicit zeros past the
+    matrix edge.  The caller is responsible for the symmetry check
+    (:func:`choose_format` / ``fmt='symdia'`` callers) — the lower
+    triangle's values are DROPPED here, which is only lossless for
+    exactly symmetric input.
+    """
+    n = coo.shape[0]
+    row = np.asarray(coo.row)
+    col = np.asarray(coo.col)
+    val = np.asarray(coo.val, dtype=np.float64)
+    upper = col >= row
+    offs = (col - row)[upper]
+    uoffs = np.unique(offs)
+    offsets = (0,) + tuple(int(o) for o in uoffs if o != 0)
+    data = np.zeros((len(offsets), n), dtype=np.float64)
+    omap = {o: d for d, o in enumerate(offsets)}
+    d_idx = np.array([omap[int(o)] for o in offs])
+    np.add.at(data, (d_idx, row[upper]), val[upper])
+    return offsets, data
+
+
 def build_ell(coo) -> tuple:
     """Host-side f64 padded-ELL layout ``(val, idx, nnz)`` from COO."""
     n = coo.shape[0]
@@ -355,35 +380,110 @@ def build_ell(coo) -> tuple:
 
 
 #: auto-routing memory budget for the block-banded packing: padded
-#: values stored (3*bs*n_pad).  512M f32 values = 2 GB — comfortably
-#: inside one v5e HBM next to the solver vectors.
+#: values stored (3*bs*n_pad), denominated in F32 VALUES (scaled by the
+#: build dtype's itemsize).  512M f32 values = 2 GB — comfortably inside
+#: one v5e HBM next to the solver vectors.
 _BLOCK_BANDED_MAX_PADDED = 512_000_000
+
+#: half-band limit for the symmetric half-band auto route — the Pallas
+#: mirror-spill kernel's (lane rotate + one sublane carry) decomposition
+#: covers shifts < one 128-lane row (``ops/sym_dia.py``)
+_SYMDIA_MAX_HALF_BAND = 128
+
+
+def _is_symmetric(coo) -> bool:
+    """Exact (bitwise) numerical symmetry check, O(nnz) host-side.
+
+    CG targets SPD systems, and every symmetric ``.mtx`` fixture expands
+    both triangles from the same stored values, so exact equality is the
+    right test (no tolerance = no false routing of near-symmetric input).
+    """
+    c = coo.tocsr()
+    c.sum_duplicates()
+    d = c - c.T.tocsr()
+    return d.nnz == 0 or float(np.abs(d.data).max()) == 0.0
+
+
+def _stencil_probe(coo):
+    """``(diag, off_value, k)`` when the matrix is diag + constant hollow
+    band at ``|i-j| < k`` (the PETSc model-problem structure,
+    ``ex2a.c:86-90``), else ``None``.  Exact-equality probe per diagonal.
+    """
+    n = coo.shape[0]
+    row = np.asarray(coo.row)
+    col = np.asarray(coo.col)
+    val = np.asarray(coo.val, dtype=np.float64)
+    offs = col - row
+    uoffs = np.unique(offs)
+    nonzero_offs = uoffs[uoffs != 0]
+    if len(nonzero_offs) == 0:
+        return None  # pure diagonal: DIA already optimal (one stream)
+    # contiguous symmetric band 1..k-1 on both sides
+    k = int(nonzero_offs.max()) + 1
+    want = np.concatenate([np.arange(-(k - 1), 0), np.arange(1, k)])
+    if len(nonzero_offs) != len(want) or not np.array_equal(
+        np.sort(nonzero_offs), want
+    ):
+        return None
+    off_mask = offs != 0
+    off_vals = val[off_mask]
+    c = off_vals[0]
+    if not (off_vals == c).all() or c == 0.0:
+        return None
+    # every off-diagonal must be FULL (missing entries are implicit
+    # zeros that break constancy)
+    counts = np.bincount(np.abs(offs[off_mask]), minlength=k)
+    expected = 2 * (n - np.arange(k))
+    if not np.array_equal(counts[1:k], expected[1:k]):
+        return None
+    if 0 not in uoffs:
+        return None
+    diag = np.zeros(n, dtype=np.float64)
+    np.add.at(diag, row[~off_mask], val[~off_mask])
+    return diag, float(c), k
 
 
 def choose_format(coo, dia_max_diags: int = 256,
-                  max_padded_values: int = _BLOCK_BANDED_MAX_PADDED) -> str:
-    """The auto policy (VERDICT r3 task 6).
+                  max_padded_values: int = _BLOCK_BANDED_MAX_PADDED,
+                  dtype=None) -> str:
+    """The auto policy (VERDICT r3 task 6; extended r5 with the
+    measured-fastest formulations).
 
-    dense for small n; DIA for low occupied-diagonal count; for general
-    patterns an RCM bandwidth probe routes to the **block-banded MXU
-    formulation** whenever the packed band fits the memory budget
-    (bcsstk18-class fixtures: ~30x faster per iteration than the gather,
-    PERF.md); only band-irreducible large matrices fall back to
-    gather-ELL — with a loud warning, because XLA's gather sustains only
-    ~40M elem/s on TPU (latency-class, ``benchmarks/ell_results.json``).
+    dense for small n; then, for banded patterns, the two formats that
+    measured fastest on chip (PERF.md): **stencil** when the off-band is
+    one constant (matrix-free window-sum matvec, no matrix traffic) and
+    **symdia** (symmetric half-band storage, half the matrix traffic)
+    when the matrix is exactly symmetric with half-band < 128; then DIA
+    for low occupied-diagonal count; for general patterns an RCM
+    bandwidth probe routes to the **block-banded MXU formulation**
+    whenever the packed band fits the memory budget (bcsstk18-class
+    fixtures: ~30x faster per iteration than the gather, PERF.md); only
+    band-irreducible large matrices fall back to gather-ELL — with a
+    loud warning, because XLA's gather sustains only ~40M elem/s on TPU
+    (latency-class, ``benchmarks/ell_results.json``).
+
+    ``max_padded_values`` is denominated in f32 values; pass ``dtype``
+    to scale the block-banded admission by the build itemsize (an f64
+    build stores 2x the bytes per padded value).
     """
     n = coo.shape[0]
     if n <= 512:
         return "dense"
     diags = np.unique(np.asarray(coo.col) - np.asarray(coo.row))
     if len(diags) <= dia_max_diags:
+        half_band = int(np.abs(diags).max()) if len(diags) else 0
+        if 0 < half_band < _SYMDIA_MAX_HALF_BAND and _is_symmetric(coo):
+            if _stencil_probe(coo) is not None:
+                return "stencil"
+            return "symdia"
         return "dia"
     from .block_banded import rcm_band_probe
 
     bw = rcm_band_probe(coo)
     bs = max(128, -(-max(bw, 1) // 128) * 128)
     n_pad = -(-n // bs) * bs
-    if 3 * bs * n_pad <= max_padded_values:
+    itemsize = np.dtype(dtype).itemsize if dtype is not None else 4
+    if 3 * bs * n_pad * itemsize <= max_padded_values * 4:
         return "block_banded"
     import warnings
 
@@ -402,13 +502,35 @@ def choose_format(coo, dia_max_diags: int = 256,
 def from_coo(coo, fmt: str = "auto", dtype=jnp.float64, dia_max_diags: int = 256):
     """Build an operator from a :class:`~..matio.matrix_market.CooMatrix`.
 
-    ``fmt``: ``'dense' | 'dia' | 'ell' | 'block_banded' | 'auto'``.
-    Auto picks dense for small matrices, DIA when the occupied-diagonal
-    count is low, the RCM-reordered block-banded MXU packing when the
+    ``fmt``: ``'dense' | 'dia' | 'symdia' | 'stencil' | 'ell' |
+    'block_banded' | 'auto'``.  Auto picks dense for small matrices,
+    then the measured-fastest applicable banded formulation (stencil >
+    symdia > DIA), the RCM-reordered block-banded MXU packing when the
     band is affordable, else ELL (see :func:`choose_format`).
     """
     if fmt == "auto":
-        fmt = choose_format(coo, dia_max_diags)
+        fmt = choose_format(coo, dia_max_diags, dtype=dtype)
+
+    if fmt == "symdia":
+        from .sym_dia import SymDiaOperator
+
+        offsets, data = build_sym_dia(coo)
+        return SymDiaOperator(offsets, jnp.asarray(data, dtype=dtype))
+
+    if fmt == "stencil":
+        from .stencil import BandedStencilOperator
+
+        probe = _stencil_probe(coo)
+        if probe is None:
+            raise ValueError(
+                "matrix is not diag + constant hollow band; "
+                "fmt='stencil' does not apply"
+            )
+        diag, off_value, k = probe
+        return BandedStencilOperator(
+            jnp.asarray(diag, dtype=dtype),
+            jnp.asarray(off_value, dtype=dtype), k,
+        )
 
     if fmt == "block_banded":
         from .block_banded import PermutedBlockBandedOperator, block_banded_from_coo

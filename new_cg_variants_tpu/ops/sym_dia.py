@@ -232,7 +232,13 @@ class SymDiaOperator:
         """Kernel dispatch: on by default on TPU for half-bands < 128
         (the lane-rotate + single-sublane-carry decomposition's domain);
         ``NCGV_SYMDIA_KERNEL=0`` or ``NCGV_DISABLE_PALLAS`` fall back to
-        the XLA mirror formulation."""
+        the XLA mirror formulation.
+
+        Like every other ``NCGV_*`` kernel flag, the env vars are read
+        at TRACE time: a solve jitted before the flag changes keeps the
+        path it compiled with until its cache entry is dropped
+        (re-trace).  Set the flags before the first traced call.
+        """
         import os
 
         if os.environ.get("NCGV_DISABLE_PALLAS"):

@@ -58,19 +58,22 @@ def error_A_norm(ctx, state, aux):
 def error_2_norm(ctx, state, aux):
     e = state["x"] - aux["x_true"]
     (ee,) = ctx.dots((e, e))
-    return jnp.sqrt(_plain(ee))
+    # abs guard like error_A_norm: a compensated/double-word dot can
+    # collapse to a tiny NEGATIVE value near the attainable floor, and
+    # sqrt of it would turn the rest of the history into NaN
+    return jnp.sqrt(jnp.abs(_plain(ee)))
 
 
 def residual_2_norm(ctx, state, aux):
     r_true = aux["b"] - ctx.mv(state["x"])
     (rr,) = ctx.dots((r_true, r_true))
-    return jnp.sqrt(_plain(rr))
+    return jnp.sqrt(jnp.abs(_plain(rr)))
 
 
 def updated_residual_2_norm(ctx, state, aux):
     r = state["r"]
     (rr,) = ctx.dots((r, r))
-    return jnp.sqrt(_plain(rr))
+    return jnp.sqrt(jnp.abs(_plain(rr)))
 
 
 def _scalar(key):

@@ -219,8 +219,63 @@ def _df_jit(fn):
     try:
         return jax.jit(fn, compiler_options={
             "xla_disable_hlo_passes": "fusion"})
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            "f32x2 mode could not disable XLA's fusion pass "
+            f"(compiler_options rejected: {e!r}); double-word arithmetic "
+            "may silently collapse toward single precision on this "
+            "backend — treat f32x2 accuracy results with suspicion.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return jax.jit(fn)
+
+
+_DF_SELFCHECK_DONE = False
+
+
+def _df_selfcheck():
+    """One-shot runtime check that the EFT invariant survives compilation.
+
+    ``_df_jit``'s fusion kill-switch can be silently ignored (an option
+    typo, a backend that accepts-and-drops ``compiler_options``, a
+    future XLA renaming the pass) — in all of which f32x2 degrades to
+    single precision with no error.  This compiles one tiny program
+    through the SAME jit path and checks the two error-free transforms
+    the mode rests on return nonzero error words.  Runs once per
+    process; ``NCGV_SKIP_DF_CHECK=1`` skips (e.g. to avoid one extra
+    remote compile on a tunnel-attached chip).
+    """
+    global _DF_SELFCHECK_DONE
+    import os
+
+    if _DF_SELFCHECK_DONE or os.environ.get("NCGV_SKIP_DF_CHECK"):
+        return
+    _DF_SELFCHECK_DONE = True
+    from ..ops.compensated import two_prod, two_sum
+
+    def prog(a, small, b):
+        s, err = two_sum(a, small)
+        p, e = two_prod(b, b)
+        return err * 2.0**30, e * 2.0**24  # scaled to O(1) if intact
+
+    err, e = _df_jit(prog)(
+        jnp.float32(1.0), jnp.float32(2.0**-30), jnp.float32(1 + 2.0**-12)
+    )
+    if float(err) == 0.0 or float(e) == 0.0:
+        import warnings
+
+        warnings.warn(
+            "double-word EFT invariant did NOT survive compilation on "
+            f"this backend (two_sum err={float(err)}, two_prod "
+            f"e={float(e)}, expected 1.0 each): the f32x2 mode is "
+            "silently collapsing toward single precision. See "
+            "solvers/api.py:_df_jit.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def _run_df(variant, A, b, x0, max_iter, preconditioner, probes, x_true,
@@ -248,6 +303,7 @@ def _run_df(variant, A, b, x0, max_iter, preconditioner, probes, x_true,
                             aux, print_every=print_every)
 
     if use_jit:
+        _df_selfcheck()
         go = _df_jit(go)
     final, hist = go(op, precond, b_df, x0_df, aux)
 
@@ -306,6 +362,7 @@ def solve(
             return s["x"], k, nrm, tol
 
         if use_jit:
+            _df_selfcheck()
             go_df = _df_jit(go_df)
         x_df, k, nrm, tol = go_df(op, precond, b_df, x0_df)
         return SolveResult(

@@ -103,9 +103,73 @@ def test_run_hoists_permutation_and_returns_original_coords():
     assert np.nanmin(rel) < 1e-5
 
 
-def test_small_and_banded_routing_unchanged():
+def test_small_and_banded_routing():
     assert choose_format(cgt.load_matrix("bcsstk03")) == "dense"
-    assert choose_format(cgt.load_matrix("nos3")) == "dia"
+    # symmetric + tight band: the half-band storage (half the matrix
+    # traffic) is the right default for every such CG input
+    assert choose_format(cgt.load_matrix("nos3")) == "symdia"
+    assert choose_format(cgt.load_matrix("nos6")) == "symdia"
+
+
+def test_symmetric_banded_routes_to_symdia():
+    from new_cg_variants_tpu.ops.sym_dia import SymDiaOperator
+
+    coo = cgt.load_matrix("nos3")
+    op = from_coo(coo, fmt="auto", dtype=np.float64)
+    assert isinstance(op, SymDiaOperator)
+    assert op.n == coo.shape[0]
+    v = np.random.default_rng(0).standard_normal(op.n)
+    got = np.asarray(op.mv(v))
+    want = coo.tocsr() @ v
+    np.testing.assert_allclose(got, want, rtol=1e-11,
+                               atol=1e-11 * np.abs(want).max())
+    # and it solves through the public API like any other operator
+    x_true = np.ones(op.n) / np.sqrt(op.n)
+    b = coo.tocsr() @ x_true
+    res = cgt.solve(op, b, variant="pipe_pr_pcg", preconditioner="jacobi",
+                    rtol=1e-10, max_iter=2000, dtype=np.float64)
+    assert res.converged
+    err = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
+    assert err < 1e-6, err
+
+
+def test_asymmetric_banded_still_routes_to_dia():
+    """Bitwise symmetry is required for the half-band drop."""
+    coo = cgt.load_matrix("nos3")
+    val = coo.val.copy()
+    # perturb ONE off-diagonal entry asymmetrically
+    off = np.flatnonzero(coo.row != coo.col)[0]
+    val[off] = val[off] * (1 + 1e-9)
+    from new_cg_variants_tpu.matio.matrix_market import CooMatrix
+
+    coo2 = CooMatrix(shape=coo.shape, row=coo.row, col=coo.col, val=val)
+    assert choose_format(coo2) == "dia"
+
+
+def test_constant_band_routes_to_stencil():
+    from new_cg_variants_tpu.matio.problems import banded_model
+    from new_cg_variants_tpu.ops.operators import coo_from_scipy
+    from new_cg_variants_tpu.ops.stencil import BandedStencilOperator
+
+    op64, b, x_true = banded_model(2000, k=8)
+    coo = coo_from_scipy(op64.tocsr())
+    assert choose_format(coo) == "stencil"
+    op = from_coo(coo, fmt="auto", dtype=np.float64)
+    assert isinstance(op, BandedStencilOperator)
+    assert op.k == 8
+    v = np.random.default_rng(1).standard_normal(2000)
+    got = np.asarray(op.mv(v))
+    want = coo.tocsr() @ v
+    np.testing.assert_allclose(got, want, rtol=1e-9,
+                               atol=1e-9 * np.abs(want).max())
+    # one non-constant off-band entry must break the stencil route
+    val = coo.val.copy()
+    off = np.flatnonzero(coo.row != coo.col)[0]
+    val[off] *= 2.0
+    from new_cg_variants_tpu.matio.matrix_market import CooMatrix
+
+    coo2 = CooMatrix(shape=coo.shape, row=coo.row, col=coo.col, val=val)
+    assert choose_format(coo2) == "dia"
 
 
 def test_scipy_sparse_input_accepted():
