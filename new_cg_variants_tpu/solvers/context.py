@@ -112,16 +112,18 @@ class Context:
             return fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta)
         return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
 
-    def _dia_full_fused_ok(self, n, allow_prec=False):
-        """Shared qualification for the whole-iteration DIA fusions.
+    def _full_fused_ok(self, n, allow_prec=False):
+        """Shared qualification for the whole-iteration fusions.
 
-        Returns ``(tile, interpret)`` when the fused full-step kernels
-        apply, else ``None``.  ``allow_prec`` lifts the unpreconditioned
-        requirement (used by hooks that either fuse the Jacobi PCApply
-        in-kernel or don't touch the preconditioner at all).
-        ``NCGV_FULL_FUSED=0`` disables; ``=1`` forces them off-TPU
-        (interpret mode, for tests); ``NCGV_FUSED_TILE`` overrides the
-        kernel tile.
+        Returns ``(kind, tile, interpret)`` — ``kind`` is ``'dia'`` or
+        ``'symdia'`` per the operator's storage — when the fused
+        full-step kernels apply, else ``None``.  ``allow_prec`` lifts
+        the unpreconditioned requirement (used by hooks that either fuse
+        the Jacobi PCApply in-kernel or don't touch the preconditioner
+        at all).  ``NCGV_FULL_FUSED=0`` disables; ``=1`` forces them
+        off-TPU (interpret mode, for tests); ``NCGV_FUSED_TILE``
+        overrides the kernel tile; ``NCGV_SYMDIA_KERNEL=0`` disables
+        just the half-band kernels.
         """
         import os
 
@@ -140,17 +142,38 @@ class Context:
         if not on_tpu and mode != "1":
             return None
         from ..ops.operators import DiaOperator
+        from ..ops.sym_dia import SymDiaOperator
 
+        tile_env = int(os.environ.get("NCGV_FUSED_TILE", 0))
+        if isinstance(self.op, SymDiaOperator):
+            if os.environ.get("NCGV_SYMDIA_KERNEL", "") == "0":
+                return None
+            from ..ops.fused_step import pick_tile
+            from ..ops.sym_fused import supports_sym_full
+
+            tile = tile_env or pick_tile(n)
+            if self.op.data.shape[1] != n or not supports_sym_full(
+                self.op.offsets, n, tile
+            ):
+                return None
+            return "symdia", tile, (None if on_tpu else True)
         if not isinstance(self.op, DiaOperator):
             return None
         from ..ops.fused_step import pick_tile, supports_full_step
 
-        tile = int(os.environ.get("NCGV_FUSED_TILE", 0)) or pick_tile(n)
+        tile = tile_env or pick_tile(n)
         if self.op.data.shape[1] != n or not supports_full_step(
             self.op.offsets, n, tile
         ):
             return None
-        return tile, (None if on_tpu else True)
+        return "dia", tile, (None if on_tpu else True)
+
+    def _dia_full_fused_ok(self, n, allow_prec=False):
+        """Back-compat shim: ``(tile, interpret)`` for the DIA kind only."""
+        ok = self._full_fused_ok(n, allow_prec)
+        if ok is None or ok[0] != "dia":
+            return None
+        return ok[1], ok[2]
 
     def pipe_full_step(self, s_, a1, beta, recompute):
         """Whole-iteration fusion for unpreconditioned pipe-P/PR on DIA.
@@ -162,10 +185,19 @@ class Context:
         operator/shape/backend doesn't qualify and the caller falls back
         to the split formulation.
         """
-        ok = self._dia_full_fused_ok(s_["x"].shape[0])
+        ok = self._full_fused_ok(s_["x"].shape[0])
         if ok is None:
             return None
-        tile, interpret = ok
+        kind, tile, interpret = ok
+        if kind == "symdia":
+            from ..ops.sym_fused import fused_sym_pipe_full_step
+
+            return fused_sym_pipe_full_step(
+                self.op.offsets, self.op.data,
+                s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+                a1, beta, recompute=recompute, tile=tile,
+                interpret=interpret,
+            )
         from ..ops.fused_step import fused_pipe_full_step
 
         return fused_pipe_full_step(
@@ -183,10 +215,18 @@ class Context:
         — the analog of the PETSc KSPPRCG hot loop
         (``cg_impls/prcg.c:122-137``).
         """
-        ok = self._dia_full_fused_ok(s_["x"].shape[0])
+        ok = self._full_fused_ok(s_["x"].shape[0])
         if ok is None:
             return None
-        tile, interpret = ok
+        kind, tile, interpret = ok
+        if kind == "symdia":
+            from ..ops.sym_fused import fused_sym_pr_full_step
+
+            return fused_sym_pr_full_step(
+                self.op.offsets, self.op.data,
+                s_["x"], s_["r"], s_["p"], s_["s"],
+                a1, beta, tile=tile, interpret=interpret,
+            )
         from ..ops.fused_family import fused_pr_full_step
 
         return fused_pr_full_step(
@@ -197,10 +237,18 @@ class Context:
 
     def cgcg_matvec_phase(self, s_, a1):
         """Fused Chronopoulos-Gear phase: x,r updates + w = A r + partials."""
-        ok = self._dia_full_fused_ok(s_["x"].shape[0])
+        ok = self._full_fused_ok(s_["x"].shape[0])
         if ok is None:
             return None
-        tile, interpret = ok
+        kind, tile, interpret = ok
+        if kind == "symdia":
+            from ..ops.sym_fused import fused_sym_cgcg_matvec_phase
+
+            return fused_sym_cgcg_matvec_phase(
+                self.op.offsets, self.op.data,
+                s_["x"], s_["r"], s_["p"], s_["s"],
+                a1, tile=tile, interpret=interpret,
+            )
         from ..ops.fused_family import fused_cgcg_matvec_phase
 
         return fused_cgcg_matvec_phase(
@@ -211,10 +259,18 @@ class Context:
 
     def gv_matvec_phase(self, s_, a1):
         """Fused GV phase: x,r,w updates + t = A w + nu,eta partials."""
-        ok = self._dia_full_fused_ok(s_["x"].shape[0])
+        ok = self._full_fused_ok(s_["x"].shape[0])
         if ok is None:
             return None
-        tile, interpret = ok
+        kind, tile, interpret = ok
+        if kind == "symdia":
+            from ..ops.sym_fused import fused_sym_gv_matvec_phase
+
+            return fused_sym_gv_matvec_phase(
+                self.op.offsets, self.op.data,
+                s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+                a1, tile=tile, interpret=interpret,
+            )
         from ..ops.fused_family import fused_gv_matvec_phase
 
         return fused_gv_matvec_phase(
@@ -230,10 +286,17 @@ class Context:
         hs_cg (rt = r) and hs_pcg with ANY preconditioner — HS's second
         phase never touches M.
         """
-        ok = self._dia_full_fused_ok(rt.shape[0], allow_prec=True)
+        ok = self._full_fused_ok(rt.shape[0], allow_prec=True)
         if ok is None:
             return None
-        tile, interpret = ok
+        kind, tile, interpret = ok
+        if kind == "symdia":
+            from ..ops.sym_fused import fused_sym_hs_matvec_phase
+
+            return fused_sym_hs_matvec_phase(
+                self.op.offsets, self.op.data, rt, p, beta,
+                tile=tile, interpret=interpret,
+            )
         from ..ops.fused_family import fused_hs_matvec_phase
 
         return fused_hs_matvec_phase(
@@ -247,7 +310,7 @@ class Context:
 
         if not isinstance(self.precond, JacobiPreconditioner):
             return None
-        return self._dia_full_fused_ok(n, allow_prec=True)
+        return self._full_fused_ok(n, allow_prec=True)
 
     def pr_full_step_prec(self, s_, a1, beta):
         """Whole-iteration Jacobi-preconditioned PR/M fusion (one pass,
@@ -255,7 +318,15 @@ class Context:
         ok = self._jacobi_fused_ok(s_["x"].shape[0])
         if ok is None:
             return None
-        tile, interpret = ok
+        kind, tile, interpret = ok
+        if kind == "symdia":
+            from ..ops.sym_fused import fused_sym_pr_full_step_prec
+
+            return fused_sym_pr_full_step_prec(
+                self.op.offsets, self.op.data, self.precond.inv_diag,
+                s_["x"], s_["r"], s_["p"], s_["s"], s_["rt"], s_["st"],
+                a1, beta, tile=tile, interpret=interpret,
+            )
         from ..ops.fused_family import fused_pr_full_step_prec
 
         return fused_pr_full_step_prec(
@@ -269,7 +340,15 @@ class Context:
         ok = self._jacobi_fused_ok(s_["x"].shape[0])
         if ok is None:
             return None
-        tile, interpret = ok
+        kind, tile, interpret = ok
+        if kind == "symdia":
+            from ..ops.sym_fused import fused_sym_cgcg_matvec_phase_prec
+
+            return fused_sym_cgcg_matvec_phase_prec(
+                self.op.offsets, self.op.data, self.precond.inv_diag,
+                s_["x"], s_["r"], s_["p"], s_["s"], a1,
+                tile=tile, interpret=interpret,
+            )
         from ..ops.fused_family import fused_cgcg_matvec_phase_prec
 
         return fused_cgcg_matvec_phase_prec(
@@ -283,7 +362,15 @@ class Context:
         ok = self._jacobi_fused_ok(s_["x"].shape[0])
         if ok is None:
             return None
-        tile, interpret = ok
+        kind, tile, interpret = ok
+        if kind == "symdia":
+            from ..ops.sym_fused import fused_sym_gv_matvec_phase_prec
+
+            return fused_sym_gv_matvec_phase_prec(
+                self.op.offsets, self.op.data, self.precond.inv_diag,
+                s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+                s_["rt"], s_["st"], a1, tile=tile, interpret=interpret,
+            )
         from ..ops.fused_family import fused_gv_matvec_phase_prec
 
         return fused_gv_matvec_phase_prec(
@@ -304,47 +391,28 @@ class Context:
         preconditioner, norm-in-batch rho, non-DIA operator, ...) and the
         caller falls back to the generic formulation.
         """
-        import os
-
-        import jax
-
-        mode = os.environ.get("NCGV_FULL_FUSED", "")
-        if (
-            mode == "0"
-            or self.compensated
-            or getattr(self, "extra_norm", None) is not None
-            or os.environ.get("NCGV_DISABLE_PALLAS")
-        ):
+        ok = self._jacobi_fused_ok(s_["x"].shape[0])
+        if ok is None:
             return None
-        from .precond import JacobiPreconditioner
+        kind, tile, interpret = ok
+        if kind == "symdia":
+            from ..ops.sym_fused import fused_sym_pipe_full_step_prec
 
-        if not isinstance(self.precond, JacobiPreconditioner):
-            return None
-        on_tpu = jax.default_backend() == "tpu"
-        if not on_tpu and mode != "1":
-            return None
-        from ..ops.operators import DiaOperator
+            return fused_sym_pipe_full_step_prec(
+                self.op.offsets, self.op.data, self.precond.inv_diag,
+                s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
+                s_["rt"], s_["st"], s_["wt"], s_["ut"],
+                a1, beta, recompute=recompute, tile=tile,
+                interpret=interpret,
+            )
+        from ..ops.fused_step import fused_pipe_full_step_prec
 
-        if not isinstance(self.op, DiaOperator):
-            return None
-        from ..ops.fused_step import (
-            fused_pipe_full_step_prec,
-            pick_tile,
-            supports_full_step,
-        )
-
-        n = s_["x"].shape[0]
-        tile = int(os.environ.get("NCGV_FUSED_TILE", 0)) or pick_tile(n)
-        if self.op.data.shape[1] != n or not supports_full_step(
-            self.op.offsets, n, tile
-        ):
-            return None
         return fused_pipe_full_step_prec(
             self.op.offsets, self.op.data, self.precond.inv_diag,
             s_["x"], s_["r"], s_["w"], s_["u"], s_["p"], s_["s"],
             s_["rt"], s_["st"], s_["wt"], s_["ut"],
             a1, beta, recompute=recompute, tile=tile,
-            interpret=None if on_tpu else True,
+            interpret=interpret,
         )
 
     def pipe_vector_phase_prec(self, s_, a1, beta):
