@@ -44,6 +44,8 @@ __all__ = [
     "ColShardContext",
     "EllRowShardContext",
     "BlockBandedRowShardContext",
+    "SymDiaRowShardContext",
+    "sym_dia_shard_data",
 ]
 
 
@@ -250,6 +252,124 @@ class RowShardContext(_MeshContext):
                 self.offsets, self.local_data, vwext[:, 0], vwext[:, 1]
             )
         y = self._dia_mv(vwext, ncols=2)
+        return y[:, 0], y[:, 1]
+
+
+def sym_dia_shard_data(data, p, h):
+    """Per-device EXTENDED half-band slices for :class:`SymDiaRowShardContext`.
+
+    Device d's local solve needs the half-band at rows
+    ``[d*m - h, (d+1)*m + h)``: the mirror term at its first rows reads
+    ``data[*, i - off]`` from the PREVIOUS device's tail, and the
+    discarded-extension formulation (compute rows ``[-h, m+h)`` locally,
+    keep ``[0, m)``) also touches the next device's head.  The overlap is
+    static, so it is materialized host-side as a stacked
+    ``(p, ndiags, m + 2h)`` array sharded on axis 0 — 2h duplicated
+    columns per device, negligible against the band itself.
+    """
+    import numpy as np
+
+    data = np.asarray(data)
+    ndiags, n = data.shape
+    m = n // p
+    padded = np.zeros((ndiags, n + 2 * h), data.dtype)
+    padded[:, h : h + n] = data
+    out = np.stack([padded[:, d * m : d * m + m + 2 * h] for d in range(p)])
+    return out
+
+
+class SymDiaRowShardContext(_MeshContext):
+    """Row-partitioned SYMMETRIC half-band operator on a 1-D mesh axis.
+
+    Distributes :class:`~..ops.sym_dia.SymDiaOperator` — half the matrix
+    traffic per device versus the two-triangle DIA row shard.  The local
+    matvec runs on an EXTENDED domain: with ``vext`` the ``[left halo |
+    v | right halo]`` vector (the same two non-circular ``ppermute``
+    hops as :class:`RowShardContext`) and ``local_data`` the matching
+    extended half-band slice (:func:`sym_dia_shard_data`), the
+    symmetric-mirror formulation evaluated on rows ``[-h, m+h)`` is the
+    exact global operator restricted to this shard; rows outside
+    ``[0, m)`` are discarded.  The halo cost is identical to the full-DIA
+    row shard (the mirror needs the back halo that DIA's lower triangle
+    would have read), so the communication structure — and the pinned
+    per-iteration collective counts — are unchanged.
+    """
+
+    def __init__(self, offsets, local_data, axis, precond=None,
+                 compensated=False):
+        self.offsets = tuple(offsets)
+        self.local_data = local_data  # (ndiags, m + 2h) extended slice
+        self.axis = axis
+        self.precond = precond
+        self.compensated = compensated
+        self.h = max(int(o) for o in self.offsets)
+
+    def _halo_extend(self, v):
+        h = self.h
+        if h == 0:
+            return v
+        p = lax.axis_size(self.axis)
+        left = lax.ppermute(v[-h:], self.axis,
+                            [(d, d + 1) for d in range(p - 1)])
+        right = lax.ppermute(v[:h], self.axis,
+                             [(d + 1, d) for d in range(p - 1)])
+        return jnp.concatenate([left, v, right], axis=0)
+
+    def _use_pallas(self) -> bool:
+        import os
+
+        if os.environ.get("NCGV_DISABLE_PALLAS"):
+            return False
+        if os.environ.get("NCGV_SYMDIA_KERNEL", "") == "0":
+            return False
+        from ..ops.sym_dia import DEFAULT_TILE
+
+        return (jax.default_backend() == "tpu" and 0 < self.h < 128
+                and 2 * self.h <= DEFAULT_TILE)
+
+    def _mv_ext_xla(self, vext, ncols=None):
+        """Mirror formulation on the extended domain, rows [h, h+m) kept."""
+        from ..ops.operators import _shift, _shift2
+
+        data = self.local_data
+        h = self.h
+        m = data.shape[1] - 2 * h
+        sh = _shift if ncols is None else _shift2
+        if ncols is not None:
+            y = data[0][:, None] * vext
+        else:
+            y = data[0] * vext
+        for d in range(1, len(self.offsets)):
+            off = self.offsets[d]
+            dd = data[d] if ncols is None else data[d][:, None]
+            y = y + dd * sh(vext, off)
+            y = y + sh(dd * vext, -off)
+        return y[h : h + m]
+
+    def mv(self, v):
+        vext = self._halo_extend(v)
+        if self._use_pallas():
+            from ..ops.sym_dia import sym_dia_spmv
+
+            h = self.h
+            m = vext.shape[0] - 2 * h
+            y = sym_dia_spmv(self.offsets, self.local_data, vext)
+            return y[h : h + m]
+        return self._mv_ext_xla(vext)
+
+    def mv2(self, v, w):
+        vw = jnp.stack([v, w], axis=1)  # one halo exchange for both RHS
+        vwext = self._halo_extend(vw)
+        if self._use_pallas():
+            from ..ops.sym_dia import sym_dia_spmv2
+
+            h = self.h
+            m = vwext.shape[0] - 2 * h
+            y, z = sym_dia_spmv2(
+                self.offsets, self.local_data, vwext[:, 0], vwext[:, 1]
+            )
+            return y[h : h + m], z[h : h + m]
+        y = self._mv_ext_xla(vwext, ncols=2)
         return y[:, 0], y[:, 1]
 
 

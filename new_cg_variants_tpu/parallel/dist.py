@@ -126,14 +126,16 @@ def initialize_multihost(**kwargs):
 
 def _check_partition(op, partition):
     from ..ops.block_banded import BlockBandedOperator
+    from ..ops.sym_dia import SymDiaOperator
 
-    row_types = (DiaOperator, EllOperator, BlockBandedOperator)
+    row_types = (DiaOperator, EllOperator, BlockBandedOperator,
+                 SymDiaOperator)
     if partition == "auto":
         partition = "row" if isinstance(op, row_types) else "col"
     if partition == "row" and not isinstance(op, row_types):
         raise TypeError(
-            "row partition requires a DiaOperator, EllOperator or "
-            "BlockBandedOperator"
+            "row partition requires a DiaOperator, SymDiaOperator, "
+            "EllOperator or BlockBandedOperator"
         )
     if partition == "col" and not isinstance(op, (DenseOperator, DiaOperator)):
         raise TypeError("col partition requires a dense-representable operator")
@@ -190,6 +192,22 @@ def _local_ctx_factory(op, partition, mesh, precond, compensated=False,
         def build_mat_ctx(local, prec_local):
             return BlockBandedRowShardContext(local, AXIS, prec_local,
                                               compensated=compensated)
+    elif partition == "row" and not isinstance(op, DiaOperator):
+        # symmetric half-band: per-device EXTENDED slices (the mirror
+        # reads the neighbor's data tail) stacked host-side — half the
+        # matrix traffic of the DIA row shard, same halo structure
+        from .contexts import SymDiaRowShardContext, sym_dia_shard_data
+
+        h = max(int(o) for o in op.offsets)
+        mat_operand = jnp.asarray(
+            sym_dia_shard_data(np.asarray(op.data), p, h), op.dtype
+        )
+        mat_spec = P(AXIS, None, None)
+
+        def build_mat_ctx(local, prec_local):
+            return SymDiaRowShardContext(op.offsets, local[0], AXIS,
+                                         prec_local,
+                                         compensated=compensated)
     elif partition == "row":
         # DIA data is (ndiags, n), row-indexed — shard columns (= matrix rows)
         mat_operand, mat_spec = op.data, P(None, AXIS)

@@ -147,6 +147,27 @@ def compiled_step_hlo(family, partition, *, n=1024, k=4, pdev=4, ctx_kwargs=None
             ctx = BlockBandedRowShardContext(local, AXIS, **ctx_kwargs)
             ctx.extra_norm = extra_norm
             return ctx
+    elif partition == "symdia":
+        # symmetric half-band row partition (extended per-device slices)
+        import numpy as np
+
+        from new_cg_variants_tpu.parallel.contexts import (
+            SymDiaRowShardContext,
+            sym_dia_shard_data,
+        )
+
+        sym_op, b, _ = banded_model(n, k=k, kappa=100.0, fmt="symdia")
+        h = max(int(o) for o in sym_op.offsets)
+        mat_operand = jnp.asarray(
+            sym_dia_shard_data(np.asarray(sym_op.data), pdev, h))
+        mat_spec = P(AXIS, None, None)
+        sd_op = sym_op
+
+        def build(local):
+            ctx = SymDiaRowShardContext(sym_op.offsets, local[0], AXIS,
+                                        **ctx_kwargs)
+            ctx.extra_norm = extra_norm
+            return ctx
     else:
         mat_operand, mat_spec = op.todense(), P(None, AXIS)
         sd_op = DenseOperator(mat_operand)

@@ -133,3 +133,17 @@ def test_block_banded_row_partition_counts(family):
     # two matvecs share the exchange via the fused 2-RHS stack), and one
     # block-halo exchange = 2 directional ppermutes (left + right)
     assert cp == 2, f"{family}: {cp} collective-permutes"
+
+
+@pytest.mark.parametrize("family", ["hs", "pr", "pipe_pr"])
+def test_symdia_row_partition_counts(family):
+    """Distributed symmetric half-band: identical communication structure
+    to the full-DIA row shard — same all-reduce count, one ppermute pair
+    per matvec phase (the mirror's back-halo rides the exchange DIA's
+    lower triangle would have used; pipe-PR's two matvecs share it via
+    the fused 2-RHS stack)."""
+    hlo = compiled_step_hlo(family, "symdia", n=N, k=K, pdev=PDEV)
+    ar = count_ops(hlo, "all-reduce")
+    cp = count_ops(hlo, "collective-permute")
+    assert ar == EXPECTED_SYNCS[family], f"{family}: {ar} all-reduces"
+    assert cp == 2, f"{family}: {cp} collective-permutes"
