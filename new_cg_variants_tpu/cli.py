@@ -97,8 +97,8 @@ def cmd_solve(args):
         variant=args.ksp_type, rtol=args.rtol, max_iter=args.max_iter,
         preconditioner=prec, norm_type=args.ksp_norm_type, dtype=dtype,
     )
-    if dtype == "f32x2" and args.devices > 1:
-        raise SystemExit("--dtype f32x2 is single-device (accuracy mode)")
+    # f32x2 over multiple devices rides the DF row-shard context
+    # (row-partitioned DIA; parallel/contexts.py:DFRowShardContext)
     times = []
     for _ in range(args.num_repeat):
         t0 = time.perf_counter()

@@ -46,6 +46,7 @@ __all__ = [
     "BlockBandedRowShardContext",
     "SymDiaRowShardContext",
     "sym_dia_shard_data",
+    "DFRowShardContext",
 ]
 
 
@@ -487,6 +488,142 @@ class BlockBandedRowShardContext(_MeshContext):
                        preferred_element_type=v.dtype)
         y = y.reshape(-1, 2)
         return y[:, 0], y[:, 1]
+
+
+class DFRowShardContext:
+    """Row-partitioned DOUBLE-WORD (f32x2) DIA context: the distributed
+    accuracy mode.
+
+    Every distributed experiment in the reference runs in f64 (the
+    mpi4py harness solves in float64, ``scaling_tests.py:51-57``; PETSc
+    ``PetscScalar`` is double) — and round-3/4 accuracy studies proved
+    compensated reductions alone do NOT recover f64-class attainable
+    accuracy; the double-word vectors + exact three-word operator do
+    (``benchmarks/accuracy_study.json``).  This context carries that
+    mode through ``shard_map``:
+
+    * vectors are :class:`~..ops.doublefloat.DF` pairs, sharded on the
+      mesh axis leaf-wise; the halo exchange stacks (hi, lo) so both
+      words ride ONE ppermute pair per matvec phase;
+    * the operator is the exact three-word split, column-sharded like
+      the plain-DIA row shard; the local SpMV runs the same EFT
+      accumulation as :meth:`~..ops.doublefloat.DFOperator._mv_dia`;
+    * ``dots`` computes local double-word partials (Dot2 tree sum) and
+      combines them across devices with ONE ``all_gather`` of the
+      packed (hi, lo) buffer followed by a deterministic double-word
+      tree sum of the P pairs — a ``psum`` would round the high words
+      in single precision, losing exactly the bits this mode carries.
+      Same collective count per sync phase as the f32 contexts.
+
+    Use under ``solvers.api._df_jit`` (fusion disabled) like every f32x2
+    program — the EFT invariant is what makes the mode work.
+    """
+
+    is_double_float = True
+
+    def __init__(self, offsets, local_hi, local_lo, local_lo2, axis,
+                 precond=None):
+        self.offsets = tuple(offsets)
+        self.local_hi = local_hi  # (ndiags, m) slices of the word arrays
+        self.local_lo = local_lo
+        self.local_lo2 = local_lo2
+        self.axis = axis
+        self.precond = precond
+        self.h = max(abs(o) for o in self.offsets)
+
+    @property
+    def has_prec(self) -> bool:
+        return self.precond is not None
+
+    def prec(self, v):
+        return self.precond.apply(v) if self.precond is not None else v
+
+    def _halo_extend2(self, vw):
+        """(m, c) stacked-word halo exchange (non-circular, zero edges)."""
+        h = self.h
+        if h == 0:
+            return vw
+        p = lax.axis_size(self.axis)
+        left = lax.ppermute(vw[-h:], self.axis,
+                            [(d, d + 1) for d in range(p - 1)])
+        right = lax.ppermute(vw[:h], self.axis,
+                             [(d + 1, d) for d in range(p - 1)])
+        return jnp.concatenate([left, vw, right], axis=0)
+
+    def _mv_ext(self, vh, vl):
+        """Double-word DIA SpMV on the halo-extended words (local rows)."""
+        from ..ops.compensated import df_add, fast_two_sum, two_prod
+
+        m = self.local_hi.shape[1]
+        h = self.h
+        acc_h = jnp.zeros((m,), vh.dtype)
+        acc_l = jnp.zeros((m,), vh.dtype)
+        for d, off in enumerate(self.offsets):
+            svh = lax.dynamic_slice_in_dim(vh, h + off, m)
+            svl = lax.dynamic_slice_in_dim(vl, h + off, m)
+            ph, e = two_prod(self.local_hi[d], svh)
+            e = e + (self.local_hi[d] * svl + self.local_lo[d] * svh
+                     + self.local_lo[d] * svl + self.local_lo2[d] * svh)
+            ph, pl = fast_two_sum(ph, e)
+            acc_h, acc_l = df_add(acc_h, acc_l, ph, pl)
+        from ..ops.doublefloat import DF
+
+        return DF(acc_h, acc_l)
+
+    def mv(self, v):
+        vw = jnp.stack([v.hi, v.lo], axis=1)  # both words, ONE exchange
+        ext = self._halo_extend2(vw)
+        return self._mv_ext(ext[:, 0], ext[:, 1])
+
+    def mv2(self, v, w):
+        vw = jnp.stack([v.hi, v.lo, w.hi, w.lo], axis=1)  # ONE exchange
+        ext = self._halo_extend2(vw)
+        return (self._mv_ext(ext[:, 0], ext[:, 1]),
+                self._mv_ext(ext[:, 2], ext[:, 3]))
+
+    def dots(self, *pairs):
+        """One all_gather carrying every (hi, lo) partial of the phase,
+        then a deterministic double-word combine of the P pairs."""
+        from ..ops.compensated import df_add
+        from ..ops.doublefloat import DF, df_dot
+
+        parts = [df_dot(a, b) for (a, b) in pairs]
+        k = len(parts)
+        buf = jnp.stack([p.hi for p in parts] + [p.lo for p in parts])
+        g = lax.all_gather(buf, self.axis)  # (P, 2k)
+        hi, lo = g[:, :k], g[:, k:]
+        # double-word tree sum over the device axis (P is tiny)
+        m = 1
+        while m < hi.shape[0]:
+            m *= 2
+        if m != hi.shape[0]:
+            pad = m - hi.shape[0]
+            hi = jnp.concatenate([hi, jnp.zeros((pad, k), hi.dtype)])
+            lo = jnp.concatenate([lo, jnp.zeros((pad, k), lo.dtype)])
+        while m > 1:
+            half = m // 2
+            hi, lo = df_add(hi[:half], lo[:half], hi[half:], lo[half:])
+            m = half
+        return tuple(DF(hi[0, i], lo[0, i]) for i in range(k))
+
+    def norm(self, v):
+        (sq,) = self.dots((v, v))
+        return jnp.sqrt(jnp.abs(sq.value()))
+
+    def mv_dots(self, v, pairs):
+        """Dots issued first: the gather overlaps the matvec's halo."""
+        d = self.dots(*pairs)
+        return self.mv(v), d
+
+    def mv2_dots(self, v, w, pairs):
+        d = self.dots(*pairs)
+        y, z = self.mv2(v, w)
+        return y, z, d
+
+    def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
+        from ..solvers.context import generic_pipe_vector_phase
+
+        return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
 
 
 class ColShardContext(_MeshContext):

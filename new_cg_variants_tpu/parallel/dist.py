@@ -29,6 +29,7 @@ from ..ops.operators import DenseOperator, DiaOperator, EllOperator
 from ..probes.probes import resolve_probes
 from ..solvers.api import SolveResult, _compute_x_true, _resolve
 from ..solvers.engine import history_scan, tolerance_loop
+from ..solvers.families import FAMILIES, family_of
 from .contexts import (
     BlockBandedRowShardContext,
     ColShardContext,
@@ -107,6 +108,164 @@ def _dist_chunked(
     return one_trial
 
 AXIS = "i"
+
+
+def _df_dist_pieces(variant, op, b, x0, preconditioner, mesh):
+    """Distributed f32x2 setup: DF operator words, sharded DF vectors.
+
+    Row-partitioned DIA only (the structure every reference scaling
+    experiment uses); the operator is the exact three-word split of
+    :func:`~..ops.doublefloat.df_operator` with a DIA inner, its word
+    arrays column-sharded like the plain row shard.
+    """
+    from ..ops.doublefloat import (
+        DFJacobi,
+        DFOperator,
+        df_operator,
+        df_split,
+    )
+    from ..ops.sym_dia import SymDiaOperator
+    from .contexts import DFRowShardContext
+
+    if isinstance(op, SymDiaOperator):
+        op = op.todia()  # accuracy mode carries the full band (see df_operator)
+    op_df = df_operator(op, fmt="dia") if not isinstance(op, DFOperator) else op
+    if not isinstance(op_df.inner, DiaOperator):
+        raise TypeError(
+            "distributed f32x2 requires a DIA-representable operator "
+            f"(got inner {type(op_df.inner).__name__})"
+        )
+    p = mesh.devices.size
+    n = op_df.n
+    if n % p:
+        raise ValueError(f"n={n} must be divisible by mesh size {p}")
+    offsets = op_df.inner.offsets
+
+    key, prec_flag = family_of(variant)
+    init_fn, step_fn = FAMILIES[key]
+    precond = None
+    if prec_flag:
+        if preconditioner in (None, "identity"):
+            from ..solvers.precond import IdentityPreconditioner
+
+            precond = IdentityPreconditioner()
+        elif preconditioner == "jacobi" or isinstance(preconditioner, DFJacobi):
+            precond = (preconditioner if isinstance(preconditioner, DFJacobi)
+                       else DFJacobi.from_operator(op_df))
+        else:
+            raise NotImplementedError(
+                "distributed f32x2 supports preconditioner None|'jacobi'; "
+                "got " + repr(preconditioner)
+            )
+
+    words = (op_df.inner.data, op_df.lo_data, op_df.lo2_data)
+    word_specs = (P(None, AXIS),) * 3
+
+    if isinstance(precond, DFJacobi):
+        prec_operand = precond.inv_diag  # DF pytree, (n,) leaves
+        prec_spec = jax.tree.map(lambda _: P(AXIS), prec_operand)
+
+        def build_ctx(local_words, prec_leaf):
+            return DFRowShardContext(offsets, *local_words, AXIS,
+                                     DFJacobi(prec_leaf))
+    else:
+        prec_operand = jnp.zeros((p,), jnp.float32)
+        prec_spec = P(AXIS)
+
+        def build_ctx(local_words, prec_leaf):
+            return DFRowShardContext(offsets, *local_words, AXIS, precond)
+
+    b_df = df_split(np.asarray(b, np.float64))
+    x0_df = df_split(np.zeros(n) if x0 is None
+                     else np.asarray(x0, np.float64))
+    return (op_df, offsets, init_fn, step_fn, precond, b_df, x0_df,
+            (words, prec_operand), (word_specs, prec_spec), build_ctx)
+
+
+def _df_dist_solve(op, b, variant, mesh, x0, rtol, atol, max_iter,
+                   preconditioner, norm_type):
+    """Distributed tolerance solve in double-word arithmetic."""
+    from ..solvers.api import _df_jit, _df_selfcheck
+
+    (op_df, offsets, init_fn, step_fn, precond, b_df, x0_df, operands,
+     op_specs, build_ctx) = _df_dist_pieces(
+        variant, op, b, x0, preconditioner, mesh
+    )
+    dfvec = jax.tree.map(lambda _: P(AXIS), b_df)
+
+    # check_vma=False: the dots combine is an all_gather + identical
+    # deterministic local reduction, so scalar outputs ARE replicated,
+    # but the static analysis cannot infer that through all_gather
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(op_specs, dfvec, dfvec),
+        out_specs=(dfvec, P(), P(), P()),
+        check_vma=False,
+    )
+    def body(local_operands, b_l, x0_l):
+        ctx = build_ctx(*local_operands)
+        s, k, nrm, tol = tolerance_loop(
+            ctx, init_fn, step_fn, b_l, x0_l, max_iter, rtol, atol, norm_type
+        )
+        return s["x"], k, nrm, tol
+
+    _df_selfcheck()
+    x, k, nrm, tol = _df_jit(body)(operands, b_df, x0_df)
+    return SolveResult(
+        x=x.value64(),
+        iterations=int(k),
+        norm=float(nrm),
+        converged=bool(norm_type == "none" or float(nrm) <= float(tol)),
+    )
+
+
+def _df_dist_run(variant, op, b, mesh, x0, max_iter, preconditioner,
+                 probes, x_true):
+    """Distributed history run in double-word arithmetic."""
+    from ..ops.doublefloat import df_split
+    from ..solvers.api import _df_jit, _df_selfcheck
+
+    (op_df, offsets, init_fn, step_fn, precond, b_df, x0_df, operands,
+     op_specs, build_ctx) = _df_dist_pieces(
+        variant, op, b, x0, preconditioner, mesh
+    )
+    probe_fns = resolve_probes(probes)
+    aux_global = {"b": b_df}
+    if any(name.startswith("error") for name in probe_fns):
+        if x_true is None:
+            x_true = _compute_x_true(op_df, np.asarray(b, np.float64))
+        aux_global["x_true"] = df_split(np.asarray(x_true, np.float64))
+
+    dfvec = jax.tree.map(lambda _: P(AXIS), b_df)
+    probe_specs = {
+        name: (P(None, AXIS) if name in ("save_x", "save_r") else P(None))
+        for name in probe_fns
+    }
+
+    # check_vma=False: see _df_dist_solve (all_gather-combined scalars
+    # are replicated by construction)
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(op_specs, dfvec, dfvec,
+                  jax.tree.map(lambda _: P(AXIS), aux_global)),
+        out_specs=(dfvec, probe_specs),
+        check_vma=False,
+    )
+    def body(local_operands, b_l, x0_l, aux_l):
+        ctx = build_ctx(*local_operands)
+        final, hist = history_scan(
+            ctx, init_fn, step_fn, probe_fns, b_l, x0_l, max_iter, aux_l
+        )
+        return final["x"], hist
+
+    _df_selfcheck()
+    x, hist = _df_jit(body)(operands, b_df, x0_df, aux_global)
+    output = {"name": variant, "max_iter": max_iter, "x": x.value64()}
+    for name in probe_fns:
+        output[name] = np.asarray(hist[name])
+    return output
 
 
 def make_mesh(n_devices=None, devices=None):
@@ -258,7 +417,18 @@ def dist_run(
 
     Vector probes (``save_x``/``save_r``) come back sharded on their last
     axis; scalar probes are replicated.
+
+    ``dtype="f32x2"`` runs the whole distributed solve in double-word
+    arithmetic (row-partitioned DIA; see :class:`~.contexts.
+    DFRowShardContext`) — the distributed analog of
+    ``api.run(dtype="f32x2")``, recovering the reference's f64-class
+    accuracy across the mesh.
     """
+    if dtype == "f32x2":
+        if mesh is None:
+            mesh = make_mesh()
+        return _df_dist_run(variant, op, b, mesh, x0, max_iter,
+                            preconditioner, probes, x_true)
     if dtype is not None:
         op = op.astype(dtype)
     if mesh is None:
@@ -334,7 +504,16 @@ def dist_solve(
     compensated=False,
     col_packed=True,
 ):
-    """Distributed tolerance solve: the mesh analog of :func:`..solvers.api.solve`."""
+    """Distributed tolerance solve: the mesh analog of :func:`..solvers.api.solve`.
+
+    ``dtype="f32x2"`` solves in double-word arithmetic over the mesh
+    (row-partitioned DIA + None/Jacobi preconditioner).
+    """
+    if dtype == "f32x2":
+        if mesh is None:
+            mesh = make_mesh()
+        return _df_dist_solve(op, b, variant, mesh, x0, rtol, atol,
+                              max_iter, preconditioner, norm_type)
     if dtype is not None:
         op = op.astype(dtype)
     if mesh is None:
