@@ -134,6 +134,11 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--variants", default="",
                     help="comma-separated subset (resume across runs)")
+    ap.add_argument("--fmt", default="dia", choices=["dia", "symdia"],
+                    help="operator storage: full-band DIA (the strictly "
+                         "conservative comparison vs the reference's mpiaij)"
+                         " or symmetric half-band (the production default; "
+                         "rows keyed 'symdia_<variant>')")
     args = ap.parse_args(argv)
 
     import jax
@@ -150,9 +155,10 @@ def main(argv=None):
     # (can be seconds) amortizes to <0.1 ms/iter (PERF.md methodology)
     iters = 50 if args.quick else 5000
 
-    op, b, x_true = cgt.banded_model(n, k=32)
+    op, b, x_true = cgt.banded_model(n, k=32, fmt=args.fmt)
     op = op.astype(dtype)
     b = np.asarray(b, np.float64)
+    key_prefix = "" if args.fmt == "dia" else args.fmt + "_"
 
     # resume: merge into an existing results file so the suite can be
     # completed across several bounded runs (one compile-heavy variant
@@ -181,7 +187,8 @@ def main(argv=None):
                         ("pr_pcg", 1), ("pipe_pr_pcg", 2)]:
         if wanted is not None and variant not in wanted:
             continue
-        if wanted is None and variant in results["configs"]:
+        key = key_prefix + variant
+        if wanted is None and key in results["configs"]:
             continue  # resume: already measured
         prec = "jacobi" if variant.endswith("pcg") else None
         t_iter, s = time_fixed_iters(variant, op, b.astype(dtype), iters,
@@ -190,7 +197,7 @@ def main(argv=None):
         err = float(np.linalg.norm(x - x_true) / np.linalg.norm(x_true))
         m = derived_metrics(op, t_iter, 1, matvecs_per_iter=mm,
                             dtype_bytes=np.dtype(dtype).itemsize)
-        results["configs"][variant] = {
+        results["configs"][key] = {
             "ms_per_iter": t_iter * 1e3,
             "nnz_per_s": m["nnz_per_s"],
             "spmv_gbytes_per_s": m["spmv_gbytes_per_s"],

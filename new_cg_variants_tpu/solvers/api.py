@@ -125,10 +125,9 @@ def run(
     hardware.  Probe histories come back single-word.
     """
     if dtype == "f32x2":
-        if w_replace is not None:
-            raise NotImplementedError("w_replace is not supported in f32x2")
         return _run_df(variant, A, b, x0, max_iter, preconditioner, probes,
-                       x_true, use_jit, print_every)
+                       x_true, use_jit, print_every, w_replace,
+                       w_replace_init)
     op = as_operator(A, dtype=dtype)
     b = jnp.asarray(b, dtype=op.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
@@ -170,7 +169,8 @@ def run(
     return output
 
 
-def _df_pieces(variant, A, b, x0, preconditioner):
+def _df_pieces(variant, A, b, x0, preconditioner, w_replace=None,
+               w_replace_init=None):
     """Shared setup for the double-word solve mode: DF operator, DF
     rhs/initial guess, DF-aware preconditioner and context."""
     from ..ops.doublefloat import (
@@ -179,6 +179,7 @@ def _df_pieces(variant, A, b, x0, preconditioner):
         df_operator,
         df_split,
     )
+    from .precond import FunctionPreconditioner
 
     op = df_operator(A)
     b_df = df_split(np.asarray(b, np.float64))
@@ -186,6 +187,19 @@ def _df_pieces(variant, A, b, x0, preconditioner):
                      else np.asarray(x0, np.float64))
     key, prec_flag = family_of(variant)
     init_fn, step_fn = FAMILIES[key]
+    if key == "gv" and w_replace is not None:
+        # the residual-replacement hook (gv_cg.py:69-72) in double-word
+        # arithmetic: the view dict carries DF values — policies that
+        # inspect magnitudes should collapse via .value()
+        stateful = w_replace_init is not None
+        step_fn = make_gv_step(w_replace, stateful=stateful)
+        if stateful:
+            base_init = init_fn
+
+            def init_fn(ctx, b_, x0_, _base=base_init):
+                st = _base(ctx, b_, x0_)
+                st["wrep"] = jax.tree.map(jnp.asarray, w_replace_init)
+                return st
     precond = None
     if prec_flag:
         if preconditioner in (None, "identity"):
@@ -193,10 +207,19 @@ def _df_pieces(variant, A, b, x0, preconditioner):
         elif preconditioner == "jacobi" or isinstance(preconditioner, DFJacobi):
             precond = (preconditioner if isinstance(preconditioner, DFJacobi)
                        else DFJacobi.from_operator(op))
+        elif hasattr(preconditioner, "apply"):
+            # user object; its apply must map DF -> DF (e.g. a DFJacobi
+            # built from a custom inverse diagonal via df_split)
+            precond = preconditioner
+        elif callable(preconditioner):
+            # raw callable M^-1: v_df -> v_df, like the reference's
+            # arbitrary-callable threading (cg_variants/__init__.py)
+            precond = FunctionPreconditioner(preconditioner)
         else:
             raise NotImplementedError(
-                "f32x2 supports preconditioner None|'jacobi' (double-word "
-                "PCApply); got " + repr(preconditioner)
+                "f32x2 preconditioner must be None|'jacobi', a DF-aware "
+                "object with .apply, or a DF->DF callable; got "
+                + repr(preconditioner)
             )
     ctx_cls = DoubleFloatContext
     return op, b_df, x0_df, init_fn, step_fn, precond, ctx_cls
@@ -279,12 +302,12 @@ def _df_selfcheck():
 
 
 def _run_df(variant, A, b, x0, max_iter, preconditioner, probes, x_true,
-            use_jit, print_every):
+            use_jit, print_every, w_replace=None, w_replace_init=None):
     """Fixed-iteration history run in double-word arithmetic."""
     from ..ops.doublefloat import df_split
 
     op, b_df, x0_df, init_fn, step_fn, precond, ctx_cls = _df_pieces(
-        variant, A, b, x0, preconditioner
+        variant, A, b, x0, preconditioner, w_replace, w_replace_init
     )
     probe_fns = resolve_probes(probes)
     aux = {"b": b_df}

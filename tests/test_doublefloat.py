@@ -106,3 +106,82 @@ def test_f32x2_solve_path():
     assert res.converged
     err = np.linalg.norm(res.x - x_true) / np.linalg.norm(x_true)
     assert err < 1e-8, err
+
+
+def test_f32x2_gv_w_replace():
+    """The reference's gv residual-replacement experiment
+    (gv_cg.py:69-72,156-158) in the on-chip accuracy mode: periodic
+    w = A*rt replacement must tighten gv's attainable floor relative to
+    the pure-recurrence run (VERDICT r4 task 6)."""
+    coo = cgt.load_matrix("bcsstk03")
+    a = coo.toarray()
+    n = a.shape[0]
+    x_true = np.ones(n) / np.sqrt(n)
+    b = a @ x_true
+
+    kw = dict(max_iter=300, preconditioner="jacobi",
+              probes=("error_A_norm",), x_true=x_true, dtype="f32x2")
+    out_plain = cgt.run("gv_pcg", a, b, **kw)
+    out_rep = cgt.run("gv_pcg", a, b,
+                      w_replace=lambda k, view: (k % 10) == 0, **kw)
+    rel_plain = out_plain["error_A_norm"] / out_plain["error_A_norm"][0]
+    rel_rep = out_rep["error_A_norm"] / out_rep["error_A_norm"][0]
+    floor_plain = np.nanmin(rel_plain[np.isfinite(rel_plain)])
+    floor_rep = np.nanmin(rel_rep[np.isfinite(rel_rep)])
+    # gv loses digits through the w recurrence; replacement recovers them
+    assert floor_rep < floor_plain / 10, (floor_rep, floor_plain)
+    assert floor_rep < 1e-8
+
+
+def test_f32x2_gv_w_replace_stateful():
+    coo = cgt.load_matrix("bcsstk03")
+    a = coo.toarray()
+    n = a.shape[0]
+    b = a @ (np.ones(n) / np.sqrt(n))
+
+    def policy(k, view, st):
+        do = k >= st["next_k"]
+        new = dict(next_k=jnp.where(do, st["next_k"] + 10, st["next_k"]),
+                   count=st["count"] + do.astype(jnp.int32))
+        return do, new
+
+    init = dict(next_k=np.int32(5), count=np.int32(0))
+    out = cgt.run("gv_cg", a, b, max_iter=60, w_replace=policy,
+                  w_replace_init=init,
+                  probes=("updated_residual_2_norm",), dtype="f32x2")
+    h = out["updated_residual_2_norm"]
+    assert np.isfinite(h[np.isfinite(h)]).any() and h[1] < h[0]
+
+
+def test_f32x2_user_preconditioner():
+    """User-supplied preconditioners in double-word arithmetic: a custom
+    DFJacobi object and a raw DF->DF callable both thread through
+    (api.py formerly raised NotImplementedError — VERDICT r4 task 6)."""
+    from new_cg_variants_tpu.ops.doublefloat import DFJacobi, df_split
+
+    coo = cgt.load_matrix("nos4")
+    a = coo.toarray()
+    n = a.shape[0]
+    x_true = np.ones(n) / np.sqrt(n)
+    b = a @ x_true
+
+    # custom inverse diagonal as a DF-aware object
+    inv_d = DFJacobi(df_split(1.0 / np.diag(a)))
+    out = cgt.run("hs_pcg", a, b, max_iter=120, preconditioner=inv_d,
+                  probes=("error_A_norm",), x_true=x_true, dtype="f32x2")
+    rel = out["error_A_norm"] / out["error_A_norm"][0]
+    assert np.nanmin(rel) < 1e-10
+
+    # and as a raw callable (the reference's arbitrary-callable protocol)
+    scale = df_split(1.0 / np.diag(a))
+    out2 = cgt.run("pr_pcg", a, b, max_iter=120,
+                   preconditioner=lambda v: scale * v,
+                   probes=("error_A_norm",), x_true=x_true, dtype="f32x2")
+    rel2 = out2["error_A_norm"] / out2["error_A_norm"][0]
+    assert np.nanmin(rel2) < 1e-10
+
+    # parity: both must match the builtin 'jacobi' history closely
+    out3 = cgt.run("hs_pcg", a, b, max_iter=120, preconditioner="jacobi",
+                   probes=("error_A_norm",), x_true=x_true, dtype="f32x2")
+    np.testing.assert_allclose(out["error_A_norm"][:20],
+                               out3["error_A_norm"][:20], rtol=1e-6)
