@@ -85,6 +85,73 @@ def main(variants=("hs_cg", "pipe_pr_cg")):
     return 0
 
 
+def main_f32x2(variants=("hs_cg",)):
+    """Accuracy-matched spectrum row: the same 1500-iteration run in the
+    double-word mode, next to the f32 rows (VERDICT r4 task 8) — so the
+    >1000x-vs-1-node claim has a column at the reference's f64-class
+    accuracy.  Keys ``<variant>_f32x2``."""
+    import jax.numpy as jnp
+
+    import new_cg_variants_tpu as cgt
+    from new_cg_variants_tpu.solvers.api import _df_jit, _df_pieces
+    from new_cg_variants_tpu.solvers.engine import history_scan
+
+    op64, b64, x_true = cgt.model_spectrum(N)
+    out_path = pathlib.Path(__file__).resolve().parent / "spectrum.json"
+    results = {}
+    try:
+        results = json.loads(out_path.read_text())
+    except Exception:
+        pass
+
+    for variant in variants:
+        op, b_df, x0_df, init_fn, step_fn, precond, ctx_cls = _df_pieces(
+            variant, op64, b64, None, None
+        )
+
+        import jax
+
+        @_df_jit
+        def run1500(op, b, x0):
+            ctx = ctx_cls(op, precond)
+            s = init_fn(ctx, b, x0)
+            return jax.lax.fori_loop(
+                0, MAX_ITER, lambda _, st: step_fn(ctx, st), s
+            )
+
+        s = run1500(op, b_df, x0_df)
+        float(np.asarray(s["nu"].hi))  # compile + warm (drained)
+        best = float("inf")
+        scale = 1.0
+        for _ in range(3):
+            scale *= 1.0 + 1e-6
+            bb = jax.tree.map(lambda a: a * np.float32(scale), b_df)
+            float(np.asarray(bb.hi[0]))
+            t0 = time.perf_counter()
+            s = run1500(op, bb, x0_df)
+            float(np.asarray(s["nu"].hi))
+            best = min(best, time.perf_counter() - t0)
+        x = s["x"].value64() / scale
+        err = float(np.linalg.norm(x - x_true))
+        results[variant + "_f32x2"] = {
+            "total_s_1500_iters": best,
+            "vs_1node": BASELINE_1NODE[variant] / best,
+            "vs_best_48node": BASELINE_BEST[variant] / best,
+            "forward_error": err,
+        }
+        print(f"{variant}_f32x2: {best:.3f}s for 1500 iters "
+              f"({BASELINE_1NODE[variant]/best:.0f}x vs 1 node), "
+              f"err {err:.2e}", flush=True)
+        out_path.write_text(json.dumps(results, indent=1))
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1].split(",") if len(sys.argv) > 1
-                  else ("hs_cg", "pipe_pr_cg")))
+    args = sys.argv[1].split(",") if len(sys.argv) > 1 else [
+        "hs_cg", "pipe_pr_cg"]
+    df_args = [a[: -len("_f32x2")] for a in args if a.endswith("_f32x2")]
+    f32_args = [a for a in args if not a.endswith("_f32x2")]
+    rc = main(tuple(f32_args)) if f32_args else 0
+    if df_args:
+        rc = main_f32x2(tuple(df_args)) or rc
+    sys.exit(rc)

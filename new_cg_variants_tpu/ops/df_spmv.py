@@ -1,0 +1,165 @@
+"""Pallas TPU kernel for the double-word (f32x2) DIA SpMV.
+
+The f32x2 mode must run under a jit with XLA's fusion pass disabled
+(:func:`..solvers.api._df_jit`) — fusion re-contracts the error-free
+transforms and collapses double-word arithmetic to single precision.
+The price is that every elementwise intermediate of the DF SpMV (the
+dominant O(ndiags * n) work) materializes in HBM: ~30 unfused ops per
+diagonal per rhs, the measured 2.2x cost on bandwidth-class problems
+(``benchmarks/f32x2_cost.json``).
+
+This kernel runs the SAME EFT accumulation as
+:meth:`~.doublefloat.DFOperator._mv_dia` — identical operation order,
+identical rounding — in ONE pass: the three word arrays stream
+HBM -> VMEM once, all intermediates live in vector registers, and
+Mosaic compiles the arithmetic as written (the kernel body never goes
+through the HLO fusion pass at all, so the EFT invariant holds by
+construction; validated on the real toolchain in
+``benchmarks/df_kernel_check.json``).
+
+Window mechanics are exactly :mod:`.spmv_pallas` (padded vector passed
+twice with adjacent block maps; every shifted read a static slice).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .compensated import df_add, fast_two_sum, two_prod
+from .spmv_pallas import DEFAULT_TILE, _round_up
+
+__all__ = ["df_dia_spmv", "df_dia_spmv2", "supports_df"]
+
+
+def supports_df(offsets, tile: int = DEFAULT_TILE) -> bool:
+    h = max(abs(int(o)) for o in offsets)
+    return 2 * h <= tile
+
+
+def _df_dia_kernel(offsets, tile, h, nrhs, *refs):
+    """One row tile of the double-word DIA SpMV.
+
+    refs: hi/lo/lo2 data blocks, then per rhs 4 vector blocks (vh twice,
+    vl twice — adjacent block maps), then per rhs (out_hi, out_lo).
+    """
+    hi_ref, lo_ref, lo2_ref = refs[0], refs[1], refs[2]
+    v_refs = refs[3 : 3 + 4 * nrhs]
+    out_refs = refs[3 + 4 * nrhs :]
+    for r in range(nrhs):
+        win_h = jnp.concatenate([v_refs[4 * r][:], v_refs[4 * r + 1][:]])
+        win_l = jnp.concatenate([v_refs[4 * r + 2][:], v_refs[4 * r + 3][:]])
+        acc_h = jnp.zeros((tile,), win_h.dtype)
+        acc_l = jnp.zeros((tile,), win_h.dtype)
+        for d in range(len(offsets)):
+            s = h + offsets[d]
+            svh = win_h[s : s + tile]
+            svl = win_l[s : s + tile]
+            ph, e = two_prod(hi_ref[d, :], svh)
+            e = e + (hi_ref[d, :] * svl + lo_ref[d, :] * svh
+                     + lo_ref[d, :] * svl + lo2_ref[d, :] * svh)
+            ph, pl = fast_two_sum(ph, e)
+            acc_h, acc_l = df_add(acc_h, acc_l, ph, pl)
+        out_refs[2 * r][:] = acc_h
+        out_refs[2 * r + 1][:] = acc_l
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "tile", "interpret", "n_out", "h")
+)
+def _df_spmv_padded(offsets, hi_p, lo_p, lo2_p, vps, *, tile, interpret,
+                    n_out, h):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ndiags, n_pad = hi_p.shape
+    nrhs = len(vps) // 2
+    grid = (n_pad // tile,)
+
+    kernel = functools.partial(_df_dia_kernel, tuple(offsets), tile, h, nrhs)
+    data_spec = pl.BlockSpec((ndiags, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    vec_specs = []
+    for _ in range(2 * nrhs):  # each word array: blocks i and i+1
+        vec_specs.append(
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+        )
+        vec_specs.append(
+            pl.BlockSpec((tile,), lambda i: (i + 1,), memory_space=pltpu.VMEM)
+        )
+    itemsize = hi_p.dtype.itemsize
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[data_spec] * 3 + vec_specs,
+        out_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+            for _ in range(2 * nrhs)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad,), hi_p.dtype)
+            for _ in range(2 * nrhs)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * ndiags * n_pad * nrhs,
+            bytes_accessed=(3 * ndiags + 6 * nrhs) * n_pad * itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(hi_p, lo_p, lo2_p, *[x for v in vps for x in (v, v)])
+    outs = tuple(y[:n_out] for y in out)
+    from .doublefloat import DF
+
+    return tuple(DF(outs[2 * r], outs[2 * r + 1]) for r in range(nrhs))
+
+
+def _pad_df(offsets, hi, lo, lo2, vs, tile):
+    """vs: flat list of word arrays (vh, vl per rhs)."""
+    h = max(abs(int(o)) for o in offsets)
+    if 2 * h > tile:
+        raise ValueError(f"halo {h} too wide for tile {tile}")
+    n = hi.shape[1]
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        hi = jnp.pad(hi, ((0, 0), (0, n_pad - n)))
+        lo = jnp.pad(lo, ((0, 0), (0, n_pad - n)))
+        lo2 = jnp.pad(lo2, ((0, 0), (0, n_pad - n)))
+    vps = tuple(
+        jnp.zeros((n_pad + tile,), v.dtype).at[h : h + n].set(v) for v in vs
+    )
+    return hi, lo, lo2, vps, n, h
+
+
+def df_dia_spmv(offsets, hi, lo, lo2, v, *, tile=DEFAULT_TILE,
+                interpret=None):
+    """``A @ v`` with A the exact three-word split, v a DF pair.
+
+    Returns a DF result with the identical EFT ordering of
+    :meth:`~.doublefloat.DFOperator._mv_dia`, one pass over the words.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hi_p, lo_p, lo2_p, vps, n, h = _pad_df(
+        offsets, hi, lo, lo2, (v.hi, v.lo), tile
+    )
+    (y,) = _df_spmv_padded(
+        tuple(offsets), hi_p, lo_p, lo2_p, vps, tile=tile,
+        interpret=interpret, n_out=n, h=h,
+    )
+    return y
+
+
+def df_dia_spmv2(offsets, hi, lo, lo2, v, w, *, tile=DEFAULT_TILE,
+                 interpret=None):
+    """Fused 2-RHS double-word SpMV: word arrays stream HBM once."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hi_p, lo_p, lo2_p, vps, n, h = _pad_df(
+        offsets, hi, lo, lo2, (v.hi, v.lo, w.hi, w.lo), tile
+    )
+    return _df_spmv_padded(
+        tuple(offsets), hi_p, lo_p, lo2_p, vps, tile=tile,
+        interpret=interpret, n_out=n, h=h,
+    )

@@ -327,7 +327,35 @@ class DFOperator:
         raise TypeError(f"unsupported inner operator {type(inner)}")
 
     def mv2(self, v: DF, w: DF):
+        from .operators import DiaOperator
+
+        if isinstance(self.inner, DiaOperator) and self._use_pallas():
+            from .df_spmv import df_dia_spmv2
+
+            return df_dia_spmv2(
+                self.inner.offsets, self.inner.data, self.lo_data,
+                self.lo2_data, v, w,
+            )
         return self.mv(v), self.mv(w)
+
+    def _use_pallas(self) -> bool:
+        """DF DIA kernel dispatch (TPU): one pass over the word arrays
+        with the EFT ordering compiled as written — Mosaic kernels never
+        pass through the HLO fusion pass, so the double-word invariant
+        holds without the global fusion kill-switch.  Trace-time env
+        capture like every NCGV_* flag."""
+        import os
+
+        if os.environ.get("NCGV_DISABLE_PALLAS"):
+            return False
+        if os.environ.get("NCGV_DF_KERNEL", "") == "0":
+            return False
+        offsets = getattr(self.inner, "offsets", None)
+        if offsets is None:
+            return False  # DIA inner only
+        from .df_spmv import supports_df
+
+        return jax.default_backend() == "tpu" and supports_df(offsets)
 
     def tocsr(self):
         """Host f64 CSR of the FULL (hi + lo + lo2) matrix — feeds the
@@ -349,6 +377,11 @@ class DFOperator:
         return (inner.tocsr() + lo.tocsr()).tocsr()
 
     def _mv_dia(self, inner, v: DF) -> DF:
+        if self._use_pallas():
+            from .df_spmv import df_dia_spmv
+
+            return df_dia_spmv(inner.offsets, inner.data, self.lo_data,
+                               self.lo2_data, v)
         acc_h = jnp.zeros_like(v.hi)
         acc_l = jnp.zeros_like(v.lo)
         for d, off in enumerate(inner.offsets):

@@ -80,27 +80,40 @@ def _sym_kernel(offsets, tile, h, nrhs, *refs):
     rows = tile // 128
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
     row2 = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+
+    def dat(d):
+        # bf16 STORAGE tier: data streams HBM at half width, compute
+        # stays in the vector dtype (f32) — the convert is register-level
+        row = data_ref[d, :]
+        return row if row.dtype == v_refs[0].dtype else row.astype(
+            v_refs[0].dtype)
+
     for r in range(nrhs):
         window = jnp.concatenate([v_refs[2 * r][:], v_refs[2 * r + 1][:]])
         v_local = window[h : h + tile]
         # upper + main: data[d, i] * v[i + off]
-        acc = data_ref[0, :] * v_local  # off = 0
+        acc = dat(0) * v_local  # off = 0
         for d in range(1, len(offsets)):
             s = h + offsets[d]
-            acc = acc + data_ref[d, :] * window[s : s + tile]
-        # mirror terms + spill from the previous tile
+            acc = acc + dat(d) * window[s : s + tile]
+        # mirror terms + spill from the previous tile.  Per diagonal:
+        # lane-rotate u_d and split by lane index into the stay-in-row
+        # plane (pa) and the wraps-to-next-row plane (pb); the sublane
+        # carry is linear and off-independent, so pb rolls ONCE after
+        # the loop (row 0 of the rolled plane = next tile's spill).
         acc = acc + jnp.where(step > 0, spill_refs[r][:], 0.0)
-        new_spill = jnp.zeros((tile,), acc.dtype)
+        pa = jnp.zeros((rows, 128), acc.dtype)
+        pb = jnp.zeros((rows, 128), acc.dtype)
         for d in range(1, len(offsets)):
             off = offsets[d]
-            u2 = (data_ref[d, :] * v_local).reshape(rows, 128)
+            u2 = (dat(d) * v_local).reshape(rows, 128)
             rl = pltpu.roll(u2, off, 1)
-            rd = pltpu.roll(rl, 1, 0)
-            y = jnp.where(lane2 >= off, rl, rd)
-            spill_mask = (row2 == 0) & (lane2 < off)
-            acc = acc + jnp.where(spill_mask, 0.0, y).reshape(tile)
-            new_spill = new_spill + jnp.where(spill_mask, y, 0.0).reshape(tile)
-        spill_refs[r][:] = new_spill
+            in_row = lane2 >= off
+            pa = pa + jnp.where(in_row, rl, 0.0)
+            pb = pb + jnp.where(in_row, 0.0, rl)
+        br = pltpu.roll(pb, 1, 0)
+        acc = acc + (pa + jnp.where(row2 == 0, 0.0, br)).reshape(tile)
+        spill_refs[r][:] = jnp.where(row2 == 0, br, 0.0).reshape(tile)
         out_refs[r][:] = acc
 
 

@@ -202,30 +202,46 @@ def _sym_family_kernel(update, finish, nvec, n_mv, nout, offsets, tile,
     vecs = tuple(v[:] for v in vec_refs)
     outs, mv_ins = update(sc, *vecs)
 
+    def dat(d):
+        # bf16 STORAGE tier: data streams HBM at half width, compute in
+        # the vector dtype (register-level convert)
+        row = data_ref[d, :]
+        return row if row.dtype == vec_refs[0].dtype else row.astype(
+            vec_refs[0].dtype)
+
     def sym_spmv(mv_in, hi_ref, spill_ref):
         """Half-band SpMV of the in-kernel-updated vector.
 
         Forward (upper+main) reads ride the [center | front-halo]
-        window; the mirror is the shifted ``u_d`` with the tile-crossing
-        rows carried in ``spill_ref`` across the sequential grid.
+        window.  The mirror — ``u_d = data[d] * v`` shifted RIGHT by
+        ``off_d`` — is decomposed per diagonal into a lane rotate plus a
+        lane-index select into two planes: A (cells that stay in their
+        sublane row) and B (cells that wrap to the next row).  The
+        sublane carry is LINEAR and off-independent, so B is rolled
+        ONCE after the loop instead of per diagonal (~35% fewer mirror
+        VPU ops than the per-diagonal roll+mask formulation); row 0 of
+        the rolled B is exactly the next tile's spill, carried across
+        the sequential grid in ``spill_ref``.
         """
         win = jnp.concatenate([mv_in, hi_ref[:]])
-        acc = data_ref[0, :] * mv_in
+        acc = dat(0) * mv_in
         for d in range(1, len(offsets)):
             o = offsets[d]
-            acc = acc + data_ref[d, :] * win[o : o + tile]
+            acc = acc + dat(d) * win[o : o + tile]
         acc = acc + jnp.where(step > 0, spill_ref[:], 0.0)
-        new_spill = jnp.zeros((tile,), acc.dtype)
+        pa = jnp.zeros((rows, 128), acc.dtype)
+        pb = jnp.zeros((rows, 128), acc.dtype)
         for d in range(1, len(offsets)):
             off = offsets[d]
-            u2 = (data_ref[d, :] * mv_in).reshape(rows, 128)
+            u2 = (dat(d) * mv_in).reshape(rows, 128)
             rl = pltpu.roll(u2, off, 1)
-            rd = pltpu.roll(rl, 1, 0)
-            y = jnp.where(lane2 >= off, rl, rd)
-            spill_mask = (row2 == 0) & (lane2 < off)
-            acc = acc + jnp.where(spill_mask, 0.0, y).reshape(tile)
-            new_spill = new_spill + jnp.where(spill_mask, y, 0.0).reshape(tile)
-        spill_ref[:] = new_spill
+            in_row = lane2 >= off
+            pa = pa + jnp.where(in_row, rl, 0.0)
+            pb = pb + jnp.where(in_row, 0.0, rl)
+        br = pltpu.roll(pb, 1, 0)
+        carried = jnp.where(row2 == 0, 0.0, br)
+        acc = acc + (pa + carried).reshape(tile)
+        spill_ref[:] = jnp.where(row2 == 0, br, 0.0).reshape(tile)
         return acc
 
     accs = tuple(

@@ -70,6 +70,21 @@ def _needs_x_true(probe_fns):
     return any(name.startswith("error") for name in probe_fns)
 
 
+def _vector_dtype(op):
+    """Solve-vector dtype for an operator.
+
+    bf16 is a STORAGE-ONLY tier: the matrix data streams HBM at half
+    width (the dominant traffic term) while vectors, scalars and all
+    arithmetic stay f32 — products against bf16 data promote to f32 in
+    XLA and are converted at register level inside the Pallas kernels.
+    A bf16 matrix is a fixed perturbation dA with ||dA||/||A|| ~ 2^-8,
+    so the attainable error floors near kappa * 2^-8 — measured policy
+    in benchmarks/bf16_study.json; use for mild-conditioning problems
+    or loose tolerances only.
+    """
+    return jnp.float32 if op.dtype == jnp.bfloat16 else op.dtype
+
+
 #: above this dimension the direct solve goes through scipy sparse LU —
 #: densifying a 90k-row fixture (s3dkq4m2) would need ~65 GB
 _SPARSE_SOLVE_MIN_N = 4096
@@ -129,8 +144,9 @@ def run(
                        x_true, use_jit, print_every, w_replace,
                        w_replace_init)
     op = as_operator(A, dtype=dtype)
-    b = jnp.asarray(b, dtype=op.dtype)
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
+    vdt = _vector_dtype(op)
+    b = jnp.asarray(b, dtype=vdt)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=vdt)
     if _needs_x_true(resolve_probes(probes)) and x_true is None:
         x_true = _compute_x_true(op, b)
     # auto-routed block-banded operators solve in the REORDERED basis:
@@ -148,7 +164,7 @@ def run(
 
     aux = {"b": b}
     if _needs_x_true(probe_fns):
-        aux["x_true"] = _to_basis(jnp.asarray(x_true, dtype=op.dtype))
+        aux["x_true"] = _to_basis(jnp.asarray(x_true, dtype=vdt))
 
     def go(op, precond, b, x0, aux):
         ctx = Context(op, precond, compensated=compensated)
@@ -393,8 +409,9 @@ def solve(
             converged=bool(norm_type == "none" or float(nrm) <= float(tol)),
         )
     op = as_operator(A, dtype=dtype)
-    b = jnp.asarray(b, dtype=op.dtype)
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=op.dtype)
+    vdt = _vector_dtype(op)
+    b = jnp.asarray(b, dtype=vdt)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=vdt)
     # auto-routed block-banded operators: solve in the reordered basis
     # (see run()); two O(n) permutations per solve, none per iteration
     from ..ops.block_banded import solver_basis

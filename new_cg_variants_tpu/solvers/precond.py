@@ -27,7 +27,12 @@ class JacobiPreconditioner:
 
     @classmethod
     def from_operator(cls, op):
-        return cls(1.0 / op.diagonal())
+        d = op.diagonal()
+        if d.dtype == jnp.bfloat16:
+            # bf16 is a storage tier for the MATRIX data; the inverse
+            # diagonal is one vector — keep the PCApply in f32
+            d = d.astype(jnp.float32)
+        return cls(1.0 / d)
 
     def apply(self, v):
         return self.inv_diag * v

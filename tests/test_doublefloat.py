@@ -185,3 +185,36 @@ def test_f32x2_user_preconditioner():
                    probes=("error_A_norm",), x_true=x_true, dtype="f32x2")
     np.testing.assert_allclose(out["error_A_norm"][:20],
                                out3["error_A_norm"][:20], rtol=1e-6)
+
+
+def test_df_dia_kernel_matches_generic():
+    """The Pallas DF DIA kernel (interpret) reproduces the generic EFT
+    accumulation to DF accuracy and the exact-split matvec to ~2^-48 of
+    the f64 truth.  (hi words are bitwise identical; lo words may differ
+    at contraction level in interpret mode, where the kernel body is
+    inlined as HLO — on TPU Mosaic compiles the EFT ordering as
+    written, pinned by benchmarks/df_kernel_check.json.)"""
+    from new_cg_variants_tpu.ops.df_spmv import df_dia_spmv, df_dia_spmv2
+    from new_cg_variants_tpu.ops.doublefloat import df_operator, df_split
+
+    op, _, _ = cgt.banded_model(5000, k=8)
+    dop = df_operator(op, fmt="dia")
+    rng = np.random.default_rng(0)
+    v64 = rng.standard_normal(5000)
+    w64 = rng.standard_normal(5000)
+    v, w = df_split(v64), df_split(w64)
+
+    ref = dop._mv_dia(dop.inner, v)
+    got = df_dia_spmv(dop.inner.offsets, dop.inner.data, dop.lo_data,
+                      dop.lo2_data, v, interpret=True)
+    assert np.array_equal(np.asarray(ref.hi), np.asarray(got.hi))
+    y64 = np.asarray(op.tocsr() @ v64)
+    yk = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+    assert np.abs(yk - y64).max() / np.abs(y64).max() < 1e-13
+
+    y2, z2 = df_dia_spmv2(dop.inner.offsets, dop.inner.data, dop.lo_data,
+                          dop.lo2_data, v, w, interpret=True)
+    assert np.array_equal(np.asarray(y2.hi), np.asarray(got.hi))
+    z64 = np.asarray(op.tocsr() @ w64)
+    zk = np.asarray(z2.hi, np.float64) + np.asarray(z2.lo, np.float64)
+    assert np.abs(zk - z64).max() / np.abs(z64).max() < 1e-13
