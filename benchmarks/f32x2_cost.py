@@ -105,6 +105,31 @@ def main():
     arms.append(("banded65k_pipe_pr", op2, np.asarray(b2), "pipe_pr", None, 200))
 
     for tag, A, b, family, prec, iters in arms:
+        try:
+            _run_arm(results, tag, A, b, family, prec, iters)
+        except Exception as e:
+            results[tag] = {"error": repr(e)[:400]}
+            print(f"{tag}: FAILED {e!r}", flush=True)
+            OUT.write_text(json.dumps(results, indent=1))
+    print("wrote", OUT)
+    return 0
+
+
+def _run_arm(results, tag, A, b, family, prec, iters):
+    import jax.numpy as jnp
+
+    from new_cg_variants_tpu.ops.doublefloat import (
+        DFJacobi,
+        DoubleFloatContext,
+        df_operator,
+        df_split,
+    )
+    from new_cg_variants_tpu.ops.operators import as_operator
+    from new_cg_variants_tpu.solvers.api import _resolve
+    from new_cg_variants_tpu.solvers.context import Context
+    from new_cg_variants_tpu.solvers.families import FAMILIES
+
+    if True:
         init_fn, step_fn = FAMILIES[family]
         row = {"iters": iters}
 
@@ -132,8 +157,6 @@ def main():
               f"f32x2 {row['f32x2_ms_per_iter']:.4f} ms/iter | "
               f"{row['slowdown']:.1f}x", flush=True)
         OUT.write_text(json.dumps(results, indent=1))
-    print("wrote", OUT)
-    return 0
 
 
 if __name__ == "__main__":

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from .compensated import df_add, fast_two_sum, two_prod
 from .spmv_pallas import DEFAULT_TILE, _round_up
 
-__all__ = ["df_dia_spmv", "df_dia_spmv2", "supports_df"]
+__all__ = ["df_dia_spmv", "df_dia_spmv2", "supports_df",
+           "df_dense_spmv", "df_dense_spmv2", "supports_df_dense"]
 
 
 def supports_df(offsets, tile: int = DEFAULT_TILE) -> bool:
@@ -163,3 +164,121 @@ def df_dia_spmv2(offsets, hi, lo, lo2, v, w, *, tile=DEFAULT_TILE,
         tuple(offsets), hi_p, lo_p, lo2_p, vps, tile=tile,
         interpret=interpret, n_out=n, h=h,
     )
+
+
+# ---------------------------------------------------------------------------
+# Double-word DENSE SpMV: the small-fixture accuracy path.
+#
+# The accuracy-study fixtures (bcsstk03 ... 1138_bus) are small enough
+# that their DF solves are DISPATCH-bound, not flops-bound: the unfused
+# gather-ELL formulation issues ~40 tiny device ops per matvec and
+# measured 7.5x the f32 cost (benchmarks/f32x2_cost.json round 4).
+# This kernel runs the whole EFT contraction — elementwise two_prod of
+# the hi words, cross terms against all three data words, and a
+# double-word TREE REDUCTION along the row — as ONE device op.  O(n^2)
+# VPU flops are nothing at these sizes; the win is the op count.
+# ---------------------------------------------------------------------------
+
+#: row-tile of the dense kernel; the column dim is padded to a power of
+#: two so the in-kernel df_add halving tree stays shape-regular
+DENSE_ROW_TILE = 128
+DENSE_MAX_N = 8192
+
+
+def supports_df_dense(n: int) -> bool:
+    return n <= DENSE_MAX_N
+
+
+def _df_dense_kernel(ncols, nrhs, hi_ref, lo_ref, lo2_ref, *refs):
+    v_refs = refs[: 2 * nrhs]
+    out_refs = refs[2 * nrhs :]
+    ah = hi_ref[...]
+    al = lo_ref[...]
+    al2 = lo2_ref[...]
+    for r in range(nrhs):
+        vh = v_refs[2 * r][...]
+        vl = v_refs[2 * r + 1][...]
+        p, e = two_prod(ah, vh)
+        e = e + (ah * vl + al * vh + al * vl + al2 * vh)
+        hi, lo = fast_two_sum(p, e)
+        w = ncols
+        while w > 1:
+            half = w // 2
+            hi, lo = df_add(hi[:, :half], lo[:, :half],
+                            hi[:, half:w], lo[:, half:w])
+            w = half
+        out_refs[2 * r][...] = hi
+        out_refs[2 * r + 1][...] = lo
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "nrhs"))
+def _df_dense_padded(hi_p, lo_p, lo2_p, vws, *, interpret, nrhs):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, ncols = hi_p.shape
+    grid = (n_rows // DENSE_ROW_TILE,)
+    mat_spec = pl.BlockSpec((DENSE_ROW_TILE, ncols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, ncols), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((DENSE_ROW_TILE, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_df_dense_kernel, ncols, nrhs),
+        grid=grid,
+        in_specs=[mat_spec] * 3 + [vec_spec] * 2 * nrhs,
+        out_specs=[out_spec] * 2 * nrhs,
+        out_shape=[jax.ShapeDtypeStruct((n_rows, 1), hi_p.dtype)] * 2 * nrhs,
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n_rows * ncols * nrhs,
+            bytes_accessed=3 * n_rows * ncols * hi_p.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(hi_p, lo_p, lo2_p, *vws)
+    return outs
+
+
+def _pow2(x: int) -> int:
+    m = 1
+    while m < x:
+        m *= 2
+    return m
+
+
+def _pad_dense(hi, lo, lo2, vs):
+    n, m = hi.shape
+    n_pad = _round_up(n, DENSE_ROW_TILE)
+    m_pad = max(_pow2(m), 128)
+    padm = ((0, n_pad - n), (0, m_pad - m))
+    hi = jnp.pad(hi, padm)
+    lo = jnp.pad(lo, padm)
+    lo2 = jnp.pad(lo2, padm)
+    vws = [jnp.pad(v, (0, m_pad - m)).reshape(1, m_pad) for v in vs]
+    return hi, lo, lo2, vws, n
+
+
+def df_dense_spmv(hi, lo, lo2, v, *, interpret=None):
+    """``A @ v`` for a dense exact three-word split, one device op."""
+    from .doublefloat import DF
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hi_p, lo_p, lo2_p, vws, n = _pad_dense(hi, lo, lo2, (v.hi, v.lo))
+    yh, yl = _df_dense_padded(hi_p, lo_p, lo2_p, vws,
+                              interpret=interpret, nrhs=1)
+    return DF(yh[:n, 0], yl[:n, 0])
+
+
+def df_dense_spmv2(hi, lo, lo2, v, w, *, interpret=None):
+    """Fused 2-RHS dense double-word SpMV (words stream VMEM once)."""
+    from .doublefloat import DF
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hi_p, lo_p, lo2_p, vws, n = _pad_dense(
+        hi, lo, lo2, (v.hi, v.lo, w.hi, w.lo))
+    yh, yl, zh, zl = _df_dense_padded(hi_p, lo_p, lo2_p, vws,
+                                      interpret=interpret, nrhs=2)
+    return DF(yh[:n, 0], yl[:n, 0]), DF(zh[:n, 0], zl[:n, 0])

@@ -317,6 +317,10 @@ class DFOperator:
         if isinstance(inner, DiaOperator):
             return self._mv_dia(inner, v)
         if isinstance(inner, DenseOperator):
+            if self._use_pallas_dense():
+                from .df_spmv import df_dense_spmv
+
+                return df_dense_spmv(inner.a, self.lo_data, self.lo2_data, v)
             return self._mv_gathered(inner.a, self.lo_data, self.lo2_data,
                                      v.hi, v.lo)
         if isinstance(inner, EllOperator):
@@ -326,8 +330,22 @@ class DFOperator:
                                      gh, gl)
         raise TypeError(f"unsupported inner operator {type(inner)}")
 
+    def _use_pallas_dense(self) -> bool:
+        """Dense DF kernel dispatch: the small-fixture accuracy solves
+        are device-op-count-bound; the kernel collapses the whole EFT
+        matvec into one op (trace-time env capture like all NCGV_*)."""
+        import os
+
+        if os.environ.get("NCGV_DISABLE_PALLAS"):
+            return False
+        if os.environ.get("NCGV_DF_KERNEL", "") == "0":
+            return False
+        from .df_spmv import supports_df_dense
+
+        return jax.default_backend() == "tpu" and supports_df_dense(self.n)
+
     def mv2(self, v: DF, w: DF):
-        from .operators import DiaOperator
+        from .operators import DenseOperator, DiaOperator
 
         if isinstance(self.inner, DiaOperator) and self._use_pallas():
             from .df_spmv import df_dia_spmv2
@@ -336,6 +354,11 @@ class DFOperator:
                 self.inner.offsets, self.inner.data, self.lo_data,
                 self.lo2_data, v, w,
             )
+        if isinstance(self.inner, DenseOperator) and self._use_pallas_dense():
+            from .df_spmv import df_dense_spmv2
+
+            return df_dense_spmv2(self.inner.a, self.lo_data,
+                                  self.lo2_data, v, w)
         return self.mv(v), self.mv(w)
 
     def _use_pallas(self) -> bool:
@@ -442,9 +465,15 @@ def df_operator(A, fmt: str = "auto") -> DFOperator:
         if fmt == "auto":
             fmt = choose_format(A)
             if fmt == "block_banded":
-                # accuracy mode has no block-banded DF kernels; the
-                # gather formulation is fine at experiment sizes
-                fmt = "ell"
+                # accuracy mode has no block-banded DF kernels.  Small
+                # general fixtures take the DENSE path (the DF dense
+                # Pallas kernel turns the whole EFT matvec into one
+                # device op — the accuracy solves at these sizes are
+                # op-count-bound, f32x2_cost.json); larger ones the
+                # gather formulation.
+                from .df_spmv import supports_df_dense
+
+                fmt = "dense" if supports_df_dense(A.shape[0]) else "ell"
             elif fmt in ("symdia", "stencil"):
                 # accuracy mode carries the full two-triangle band: the
                 # half-band/stencil formulations are traffic

@@ -102,15 +102,17 @@ def _sym_kernel(offsets, tile, h, nrhs, *refs):
         # carry is linear and off-independent, so pb rolls ONCE after
         # the loop (row 0 of the rolled plane = next tile's spill).
         acc = acc + jnp.where(step > 0, spill_refs[r][:], 0.0)
-        pa = jnp.zeros((rows, 128), acc.dtype)
+        tot = jnp.zeros((rows, 128), acc.dtype)
         pb = jnp.zeros((rows, 128), acc.dtype)
         for d in range(1, len(offsets)):
             off = offsets[d]
             u2 = (dat(d) * v_local).reshape(rows, 128)
             rl = pltpu.roll(u2, off, 1)
-            in_row = lane2 >= off
-            pa = pa + jnp.where(in_row, rl, 0.0)
-            pb = pb + jnp.where(in_row, 0.0, rl)
+            tot = tot + rl
+            pb = pb + jnp.where(lane2 < off, rl, 0.0)
+        # in-row plane = total - wrapped plane (one subtract per pass
+        # instead of a second select+add per diagonal)
+        pa = tot - pb
         br = pltpu.roll(pb, 1, 0)
         acc = acc + (pa + jnp.where(row2 == 0, 0.0, br)).reshape(tile)
         spill_refs[r][:] = jnp.where(row2 == 0, br, 0.0).reshape(tile)

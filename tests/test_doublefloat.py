@@ -218,3 +218,35 @@ def test_df_dia_kernel_matches_generic():
     z64 = np.asarray(op.tocsr() @ w64)
     zk = np.asarray(z2.hi, np.float64) + np.asarray(z2.lo, np.float64)
     assert np.abs(zk - z64).max() / np.abs(z64).max() < 1e-13
+
+
+def test_df_dense_kernel_matches_f64():
+    """The dense DF kernel (one-device-op EFT matvec for small accuracy
+    fixtures) reproduces the f64 truth at double-word accuracy."""
+    from new_cg_variants_tpu.ops.df_spmv import (
+        df_dense_spmv,
+        df_dense_spmv2,
+    )
+    from new_cg_variants_tpu.ops.doublefloat import df_operator, df_split
+    from new_cg_variants_tpu.ops.operators import DenseOperator
+
+    coo = cgt.load_matrix("1138_bus")
+    dop = df_operator(coo)  # auto: small general fixture -> dense
+    assert isinstance(dop.inner, DenseOperator)
+    n = coo.shape[0]
+    rng = np.random.default_rng(0)
+    v64 = rng.standard_normal(n)
+    w64 = rng.standard_normal(n)
+    v, w = df_split(v64), df_split(w64)
+    a = coo.tocsr()
+
+    y = df_dense_spmv(dop.inner.a, dop.lo_data, dop.lo2_data, v,
+                      interpret=True)
+    yk = np.asarray(y.hi, np.float64) + np.asarray(y.lo, np.float64)
+    y64 = a @ v64
+    assert np.abs(yk - y64).max() / np.abs(y64).max() < 1e-13
+
+    y2, z2 = df_dense_spmv2(dop.inner.a, dop.lo_data, dop.lo2_data, v, w,
+                            interpret=True)
+    zk = np.asarray(z2.hi, np.float64) + np.asarray(z2.lo, np.float64)
+    assert np.abs(zk - (a @ w64)).max() / np.abs(y64).max() < 1e-13
