@@ -45,10 +45,19 @@ def _add_problem_args(p):
                    help="off-diagonal value (banded problem)")
     p.add_argument("--matrix", type=str, default=None,
                    help="fixture name or .mtx path (--problem mtx)")
+    p.add_argument("--mat-format", default="auto",
+                   choices=["auto", "dia", "symdia", "stencil", "dense",
+                            "ell", "block_banded"],
+                   help="operator storage; auto picks the measured-best "
+                        "formulation (symdia for the banded model and "
+                        "symmetric .mtx inputs — ops/operators.py:"
+                        "choose_format)")
     p.add_argument("--dtype", choices=["f32", "f64", "bf16", "f32x2"],
                    default=None,
                    help="compute dtype (default: backend native); f32x2 = "
-                        "double-word arithmetic, the on-chip f64 substitute")
+                        "double-word arithmetic, the on-chip f64 "
+                        "substitute; bf16 = matrix STORAGE only (vectors "
+                        "stay f32)")
 
 
 def _build_problem(args):
@@ -58,10 +67,18 @@ def _build_problem(args):
     from .matio.problems import banded_model, model_spectrum
     from .ops.operators import as_operator
 
+    mat_fmt = getattr(args, "mat_format", "auto")
     if args.problem == "banded":
         rho = 0.95 if args.rho is None else args.rho
+        # auto = the measured-best matrix-stored formulation (symmetric
+        # half-band; PERF.md) — the PETSc always-best-formulation stance
+        fmt = {"auto": "symdia"}.get(mat_fmt, mat_fmt)
+        if fmt not in ("dia", "symdia", "stencil"):
+            raise SystemExit(
+                f"--mat-format {mat_fmt} does not apply to the banded "
+                "model (choose auto|dia|symdia|stencil)")
         return banded_model(args.n, k=args.k, off_value=args.off_value,
-                            kappa=args.kappa, rho=rho)
+                            kappa=args.kappa, rho=rho, fmt=fmt)
     if args.problem == "spectrum":
         rho = 0.9 if args.rho is None else args.rho
         return model_spectrum(args.n, kappa=args.kappa, rho=rho)
@@ -69,10 +86,12 @@ def _build_problem(args):
         raise SystemExit("--problem mtx requires --matrix")
     coo = (read_mtx(args.matrix) if args.matrix.endswith(".mtx")
            else load_matrix(args.matrix))
-    op = as_operator(coo)
+    from .ops.operators import from_coo
+
+    op = from_coo(coo, fmt=mat_fmt)
     n = op.n
     x_true = np.ones(n) / np.sqrt(n)
-    b = np.asarray(op.todense(), dtype=np.float64) @ x_true
+    b = np.asarray(coo.tocsr() @ x_true, dtype=np.float64)
     return op, b, x_true
 
 

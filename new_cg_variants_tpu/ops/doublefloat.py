@@ -457,6 +457,12 @@ def df_operator(A, fmt: str = "auto") -> DFOperator:
 
     if isinstance(A, DFOperator):
         return A
+    from .sym_dia import SymDiaOperator
+
+    if isinstance(A, SymDiaOperator):
+        # the accuracy mode carries the full two-triangle band (half-band
+        # is a traffic optimization; DF solves are compute/op-bound)
+        A = A.todia()
     if hasattr(A, "tocoo") and not isinstance(A, (np.ndarray, CooMatrix)):
         from .operators import coo_from_scipy
 
