@@ -47,14 +47,16 @@ def _traced_chunk(op, b, tdir):
 
     init_fn, step_fn = FAMILIES["pipe_pr"]
 
+    op_cls = type(op)  # DiaOperator or SymDiaOperator (round 5)
+
     @jax.jit
     def init(data, b):
-        ctx = Context(DiaOperator(op.offsets, data), None)
+        ctx = Context(op_cls(op.offsets, data), None)
         return init_fn(ctx, b, jnp.zeros_like(b))
 
     @jax.jit
     def chunk(data, state):
-        ctx = Context(DiaOperator(op.offsets, data), None)
+        ctx = Context(op_cls(op.offsets, data), None)
         return jax.lax.fori_loop(
             0, TRACE_ITERS, lambda _, s: step_fn(ctx, s), state
         )
@@ -88,15 +90,20 @@ def main():
     op = DiaOperator(op64.offsets,
                      jnp.asarray(np.asarray(op64.data), jnp.float32))
     b = jnp.asarray(np.asarray(b), jnp.float32)
+    opsym64, bsym, _ = banded_model(N, k=K_BAND, fmt="symdia")
+    opsym = opsym64.astype(jnp.float32)
+    bsym = jnp.asarray(np.asarray(bsym), jnp.float32)
 
     out_doc = {"n": N, "k": K_BAND, "iters": TRACE_ITERS, "paths": {}}
-    for label, env in [("fused", None), ("generic", "0")]:
+    for label, env in [("symdia_fused", None), ("fused", None),
+                       ("generic", "0")]:
         if env is None:
             os.environ.pop("NCGV_FULL_FUSED", None)
         else:
             os.environ["NCGV_FULL_FUSED"] = env
         tdir = f"/tmp/ncgv_chip_trace_{label}"
-        wall = _traced_chunk(op, b, tdir)
+        wall = _traced_chunk(opsym if label.startswith("symdia") else op,
+                             bsym if label.startswith("symdia") else b, tdir)
         events = load_trace_events(tdir)
         bd = phase_breakdown(events)
         ops = op_breakdown(events, top=12)

@@ -47,6 +47,7 @@ __all__ = [
     "SymDiaRowShardContext",
     "sym_dia_shard_data",
     "DFRowShardContext",
+    "StencilRowShardContext",
 ]
 
 
@@ -487,6 +488,66 @@ class BlockBandedRowShardContext(_MeshContext):
         y = jnp.einsum("nij,njk->nik", self.local_blk, win,
                        preferred_element_type=v.dtype)
         y = y.reshape(-1, 2)
+        return y[:, 0], y[:, 1]
+
+
+class StencilRowShardContext(_MeshContext):
+    """Row-partitioned matrix-free constant-band stencil operator.
+
+    Distributes :class:`~..ops.stencil.BandedStencilOperator` — the
+    fastest measured formulation for the PETSc model problem (no matrix
+    storage at all; PERF.md stencil section).  Each device holds its
+    diagonal slice and the scalar ``off_value``; the matvec is the
+    window-sum formulation on the halo-extended local vector (halo
+    width ``k - 1``, the same two non-circular ppermute hops as every
+    row shard), so per-iteration communication stays O(k) per device.
+    """
+
+    def __init__(self, local_diag, off_value, k, axis, precond=None,
+                 compensated=False):
+        self.local_diag = local_diag
+        self.off_value = off_value
+        self.k = int(k)
+        self.axis = axis
+        self.precond = precond
+        self.compensated = compensated
+        self.h = self.k - 1
+
+    def _halo_extend(self, v):
+        h = self.h
+        if h == 0:
+            return v
+        p = lax.axis_size(self.axis)
+        left = lax.ppermute(v[-h:], self.axis,
+                            [(d, d + 1) for d in range(p - 1)])
+        right = lax.ppermute(v[:h], self.axis,
+                             [(d + 1, d) for d in range(p - 1)])
+        return jnp.concatenate([left, v, right], axis=0)
+
+    def _mv_cols(self, vext):
+        """Window-sum matvec on the extended local vector (any ncols)."""
+        from ..ops.stencil import window_sum
+
+        h = self.h
+        m = self.local_diag.shape[0]
+        if vext.ndim == 1:
+            w = window_sum(vext, self.k)[h : h + m]
+            v = vext[h : h + m]
+            return (self.local_diag - self.off_value) * v + self.off_value * w
+        outs = []
+        for c in range(vext.shape[1]):
+            w = window_sum(vext[:, c], self.k)[h : h + m]
+            v = vext[h : h + m, c]
+            outs.append((self.local_diag - self.off_value) * v
+                        + self.off_value * w)
+        return jnp.stack(outs, axis=1)
+
+    def mv(self, v):
+        return self._mv_cols(self._halo_extend(v))
+
+    def mv2(self, v, w):
+        vw = jnp.stack([v, w], axis=1)  # ONE halo exchange for both RHS
+        y = self._mv_cols(self._halo_extend(vw))
         return y[:, 0], y[:, 1]
 
 

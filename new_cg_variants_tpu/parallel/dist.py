@@ -285,20 +285,27 @@ def initialize_multihost(**kwargs):
 
 def _check_partition(op, partition):
     from ..ops.block_banded import BlockBandedOperator
+    from ..ops.stencil import BandedStencilOperator
     from ..ops.sym_dia import SymDiaOperator
 
     row_types = (DiaOperator, EllOperator, BlockBandedOperator,
-                 SymDiaOperator)
+                 SymDiaOperator, BandedStencilOperator)
     if partition == "auto":
         partition = "row" if isinstance(op, row_types) else "col"
     if partition == "row" and not isinstance(op, row_types):
         raise TypeError(
             "row partition requires a DiaOperator, SymDiaOperator, "
-            "EllOperator or BlockBandedOperator"
+            "BandedStencilOperator, EllOperator or BlockBandedOperator"
         )
     if partition == "col" and not isinstance(op, (DenseOperator, DiaOperator)):
         raise TypeError("col partition requires a dense-representable operator")
     return partition
+
+
+def _is_stencil(op) -> bool:
+    from ..ops.stencil import BandedStencilOperator
+
+    return isinstance(op, BandedStencilOperator)
 
 
 def _local_ctx_factory(op, partition, mesh, precond, compensated=False,
@@ -351,6 +358,18 @@ def _local_ctx_factory(op, partition, mesh, precond, compensated=False,
         def build_mat_ctx(local, prec_local):
             return BlockBandedRowShardContext(local, AXIS, prec_local,
                                               compensated=compensated)
+    elif partition == "row" and _is_stencil(op):
+        # matrix-free constant-band stencil: diagonal slice + scalar
+        from .contexts import StencilRowShardContext
+
+        k_band = op.k
+        off_v = op.off_value
+        mat_operand, mat_spec = jnp.asarray(op.diag), P(AXIS)
+
+        def build_mat_ctx(local, prec_local):
+            return StencilRowShardContext(local, off_v, k_band, AXIS,
+                                          prec_local,
+                                          compensated=compensated)
     elif partition == "row" and not isinstance(op, DiaOperator):
         # symmetric half-band: per-device EXTENDED slices (the mirror
         # reads the neighbor's data tail) stacked host-side — half the

@@ -303,3 +303,21 @@ def test_symdia_dist_solve_forward_error(mesh):
     assert res.converged
     err = np.linalg.norm(np.asarray(res.x) - x_true)
     assert err < 1e-5, f"forward error {err:.2e}"
+
+
+def test_stencil_row_partition_matches_single_device(mesh):
+    """Matrix-free stencil operator distributes by rows: window-sum on
+    the halo-extended local vector, O(k) per-device communication."""
+    op, b, x_true = cgt.banded_model(4096, k=5, kappa=1e4, fmt="stencil")
+    out = dist_run("pipe_pr_cg", op, b, mesh=mesh, max_iter=30,
+                   probes=("updated_residual_2_norm",), dtype=np.float64)
+    ref = cgt.run("pipe_pr_cg", op, b, max_iter=30,
+                  probes=("updated_residual_2_norm",), dtype=np.float64)
+    np.testing.assert_allclose(
+        out["updated_residual_2_norm"], ref["updated_residual_2_norm"],
+        rtol=1e-11,
+    )
+    res = dist_solve(op, b, variant="hs_cg", mesh=mesh, rtol=1e-10,
+                     max_iter=3000, dtype=np.float64)
+    assert res.converged
+    assert np.linalg.norm(np.asarray(res.x) - x_true) < 1e-5
