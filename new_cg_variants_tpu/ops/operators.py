@@ -255,10 +255,34 @@ class EllOperator:
     def dtype(self):
         return self.val.dtype
 
+    def _use_ell_kernel(self) -> bool:
+        """EXPERIMENTAL opt-in (NCGV_ELL_KERNEL=1): in-kernel gather with
+        the whole vector VMEM-resident (ops/ell_pallas.py).  Off by
+        default until a chip run lands a measured win over XLA's gather
+        (benchmarks/ell_kernel_check.py probes toolchain support)."""
+        import os
+
+        if os.environ.get("NCGV_ELL_KERNEL", "") != "1":
+            return False
+        if os.environ.get("NCGV_DISABLE_PALLAS"):
+            return False
+        from .ell_pallas import supports_ell_kernel
+
+        return jax.default_backend() == "tpu" and supports_ell_kernel(self.n)
+
     def mv(self, v):
+        if self._use_ell_kernel():
+            from .ell_pallas import ell_spmv
+
+            return ell_spmv(self.val, self.idx, v)
         return jnp.sum(self.val * v[self.idx], axis=1)
 
     def mv2(self, v, w):
+        if self._use_ell_kernel():
+            from .ell_pallas import ell_spmv
+
+            return ell_spmv(self.val, self.idx, v), ell_spmv(
+                self.val, self.idx, w)
         g = jnp.stack([v, w], axis=1)[self.idx]  # (n, L, 2)
         out = jnp.sum(self.val[:, :, None] * g, axis=1)
         return out[:, 0], out[:, 1]

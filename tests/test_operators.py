@@ -89,3 +89,21 @@ def test_banded_model_matches_dense():
         np.diagonal(a), 1 + i / (n - 1) * 99.0 * 0.9 ** (n - 1 - i), rtol=1e-13
     )
     np.testing.assert_allclose(a @ np.ones(n), np.asarray(b), rtol=1e-13)
+
+
+def test_ell_pallas_kernel_interpret():
+    """Experimental in-kernel ELL gather (opt-in on TPU) matches the XLA
+    gather formulation in interpret mode."""
+    import jax.numpy as jnp
+
+    import new_cg_variants_tpu as cgt
+    from new_cg_variants_tpu.ops.ell_pallas import ell_spmv
+    from new_cg_variants_tpu.ops.operators import from_coo
+
+    coo = cgt.load_matrix("nos3")
+    op = from_coo(coo, fmt="ell", dtype=np.float64)
+    v = np.random.default_rng(0).standard_normal(op.n)
+    got = np.asarray(ell_spmv(op.val, op.idx, jnp.asarray(v), interpret=True))
+    want = coo.tocsr() @ v
+    np.testing.assert_allclose(got, want, rtol=1e-12,
+                               atol=1e-12 * np.abs(want).max())
