@@ -98,6 +98,8 @@ def _dia_spmv_padded(offsets, data_p, vps, *, tile, interpret, n_out, h):
             pl.BlockSpec((tile,), lambda i: (i + 1,), memory_space=pltpu.VMEM)
         )
     itemsize = data_p.dtype.itemsize
+    # outputs take the VECTOR dtype (bf16 storage tier: bf16 data, f32
+    # compute — the in-kernel product promotes elementwise)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -110,7 +112,7 @@ def _dia_spmv_padded(offsets, data_p, vps, *, tile, interpret, n_out, h):
             for _ in range(nrhs)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad,), data_p.dtype) for _ in range(nrhs)
+            jax.ShapeDtypeStruct((n_pad,), vps[0].dtype) for _ in range(nrhs)
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiags * n_pad * nrhs,

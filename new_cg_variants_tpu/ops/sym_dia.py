@@ -140,6 +140,9 @@ def _sym_spmv_padded(offsets, data_p, vps, *, tile, interpret, n_out, h):
             pl.BlockSpec((tile,), lambda i: (i + 1,), memory_space=pltpu.VMEM)
         )
     itemsize = data_p.dtype.itemsize
+    # outputs/scratch take the VECTOR dtype: with the bf16 storage tier
+    # the data streams bf16 but the kernel computes (and spills) in f32
+    vdtype = vps[0].dtype
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -153,9 +156,9 @@ def _sym_spmv_padded(offsets, data_p, vps, *, tile, interpret, n_out, h):
             for _ in range(nrhs)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad,), data_p.dtype) for _ in range(nrhs)
+            jax.ShapeDtypeStruct((n_pad,), vdtype) for _ in range(nrhs)
         ],
-        scratch_shapes=[pltpu.VMEM((tile,), data_p.dtype) for _ in range(nrhs)],
+        scratch_shapes=[pltpu.VMEM((tile,), vdtype) for _ in range(nrhs)],
         compiler_params=pltpu.CompilerParams(
             # sequential grid: the spill scratch carries across steps
             dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,)

@@ -49,3 +49,27 @@ def test_bf16_storage_fused_kernel_interpret(monkeypatch):
     # formulations diverge at f32 rounding order, not f64
     np.testing.assert_allclose(a[:8], r[:8], rtol=1e-3)
     assert 0.25 < np.nanmin(a) / np.nanmin(r) < 4.0
+
+
+def test_bf16_standalone_kernels_interpret():
+    """The standalone SpMV kernels accept bf16 data with f32 vectors:
+    outputs and spill scratch take the VECTOR dtype (the chip failure
+    mode was an f32 store into a bf16-shaped out ref)."""
+    import jax.numpy as jnp
+
+    from new_cg_variants_tpu.ops.spmv_pallas import dia_spmv
+    from new_cg_variants_tpu.ops.sym_dia import sym_dia_spmv
+
+    op, _, _ = cgt.banded_model(4096, k=8, kappa=100.0, fmt="symdia")
+    v = jnp.asarray(np.random.default_rng(0).standard_normal(4096),
+                    jnp.float32)
+    y = sym_dia_spmv(op.astype(jnp.bfloat16).offsets,
+                     op.astype(jnp.bfloat16).data, v, interpret=True)
+    assert y.dtype == jnp.float32
+    want = np.asarray(op.astype(jnp.float32)._mv_xla(v))
+    assert np.abs(np.asarray(y) - want).max() / np.abs(want).max() < 1e-2
+
+    opd, _, _ = cgt.banded_model(4096, k=8, kappa=100.0)
+    yd = dia_spmv(opd.astype(jnp.bfloat16).offsets,
+                  opd.astype(jnp.bfloat16).data, v, interpret=True)
+    assert yd.dtype == jnp.float32
