@@ -27,9 +27,12 @@ REF_DATA = pathlib.Path(
     "/root/reference/predict_and_recompute/numerical_experiments/data"
 )
 
-#: the paper's 7-variant table set (figure_gen.py:360)
+#: the paper's 7-variant table set (figure_gen.py:360), plus the gv
+#: residual-replacement experiment (gv_cg.py:69-72,156-158: force
+#: w = A rt every 10 iterations) — the mechanism that recovers gv's
+#: attainable-accuracy loss, run here in every arithmetic tier
 FULL_VARIANTS = ("hs_pcg", "cg_pcg", "m_pcg", "pr_pcg", "gv_pcg",
-                 "pipe_pr_m_pcg", "pipe_pr_pcg")
+                 "gv_pcg+wr10", "pipe_pr_m_pcg", "pipe_pr_pcg")
 #: the endpoints-of-the-spectrum pair (classic vs flagship pipelined)
 PAIR = ("hs_pcg", "pipe_pr_pcg")
 
@@ -94,16 +97,20 @@ def main():
                 for lbl in ("f32", "f32_comp", "f32x2")
             ):
                 continue  # resume
-            ent = {"ref_f64": _ref_metrics(matrix, variant)}
+            run_name, extra_kw = variant, {}
+            if variant.endswith("+wr10"):
+                run_name = variant[: -len("+wr10")]
+                extra_kw = {"w_replace": (lambda k, view: (k % 10) == 0)}
+            ent = {"ref_f64": _ref_metrics(matrix, run_name)}
             for label, kw in [("f32", {"dtype": jnp.float32}),
                               ("f32_comp", {"dtype": jnp.float32,
                                             "compensated": True}),
                               ("f32x2", {"dtype": "f32x2"})]:
                 try:
                     out = cgt.run(
-                        variant, coo, b, max_iter=max_iter,
+                        run_name, coo, b, max_iter=max_iter,
                         preconditioner="jacobi", probes=("error_A_norm",),
-                        x_true=x_true, **kw,
+                        x_true=x_true, **extra_kw, **kw,
                     )
                     ent[label] = _metrics(out["error_A_norm"])
                 except Exception as e:  # record, keep the study going

@@ -8,11 +8,15 @@ resident in VMEM (fits for n up to ~8M f32) and performs the gather
 in-kernel over row tiles, betting on Mosaic's dynamic-gather lowering
 beating XLA's scalar-unit gather.
 
-Status: validated in interpret mode; real-toolchain support for 2-D
-dynamic gathers is probed by ``benchmarks/ell_kernel_check.py`` and the
-kernel stays OPT-IN (``NCGV_ELL_KERNEL=1``) until a chip run lands a
-measured win — Mosaic's rejection surface for gather shapes is large
-(cf. the 1-D shift limitations documented in ops/sym_dia.py).
+Status: validated in interpret mode; REJECTED by the real toolchain
+(``benchmarks/ell_kernel_check.json``: ``NotImplementedError('Only 2D
+gather is supported')`` — Mosaic's dynamic gather is lane-preserving
+``take_along_axis``-style only, while an arbitrary-pattern SpMV gather
+is inherently lane-crossing).  The kernel stays OPT-IN
+(``NCGV_ELL_KERNEL=1``) as the ready implementation for a future
+toolchain; the production mitigations for band-irreducible matrices
+remain the loud auto-route warning + the block-banded MXU path
+(PERF.md §general-sparse).
 """
 
 from __future__ import annotations
