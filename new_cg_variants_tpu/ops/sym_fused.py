@@ -202,12 +202,18 @@ def _sym_family_kernel(update, finish, nvec, n_mv, nout, offsets, tile,
     vecs = tuple(v[:] for v in vec_refs)
     outs, mv_ins = update(sc, *vecs)
 
-    def dat(d):
-        # bf16 STORAGE tier: data streams HBM at half width, compute in
-        # the vector dtype (register-level convert)
-        row = data_ref[d, :]
-        return row if row.dtype == vec_refs[0].dtype else row.astype(
-            vec_refs[0].dtype)
+    # bf16 STORAGE tier: data streams HBM at half width; convert the
+    # WHOLE block once (per-row converts from packed bf16 sublane tiles
+    # force a relayout per extract — measured 4x slower).  Matching
+    # dtypes keep the per-row direct reads (the f32 hot path).
+    if data_ref.dtype != vec_refs[0].dtype:
+        _data = data_ref[...].astype(vec_refs[0].dtype)
+
+        def dat(d):
+            return _data[d, :]
+    else:
+        def dat(d):
+            return data_ref[d, :]
 
     def sym_spmv(mv_in, hi_ref, spill_ref):
         """Half-band SpMV of the in-kernel-updated vector.
