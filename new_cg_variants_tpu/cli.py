@@ -140,6 +140,17 @@ def cmd_solve(args):
 
 
 def cmd_convergence(args):
+    # The convergence experiment is DEFINED in f64 (the reference runs
+    # NumPy float64, figure_gen.py) — on a TPU-attached machine the
+    # default backend would silently truncate to f32 and produce
+    # garbage attainable-accuracy tables.  Force CPU x64 unless the
+    # user explicitly asks for the native backend (TPU f32 studies go
+    # through benchmarks/accuracy_study.py instead).
+    if args.backend == "cpu-f64":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     from .harness.convergence import (
         DEFAULT_VARIANTS, MATRIX_CONFIGS, run_convergence_suite,
     )
@@ -231,6 +242,11 @@ def main(argv=None):
                     help="cap per-config max_iter (quick runs)")
     pc.add_argument("--resume", action="store_true",
                     help="skip variants whose trial file already exists")
+    pc.add_argument("--backend", choices=["cpu-f64", "native"],
+                    default="cpu-f64",
+                    help="cpu-f64 (default) pins the reference's float64 "
+                         "semantics; 'native' uses whatever backend JAX "
+                         "selected (TPU = f32)")
     pc.set_defaults(fn=cmd_convergence)
 
     pg = sub.add_parser("scaling", help="strong-scaling harness")
