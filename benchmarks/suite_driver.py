@@ -15,6 +15,10 @@ import sys
 VARIANTS = ["pipe_pr_cg", "hs_cg", "cg_cg", "m_cg", "gv_cg", "pr_cg",
             "pipe_p_cg", "pipe_p_m_cg", "pipe_pr_m_cg",
             "hs_pcg", "cg_pcg", "gv_pcg", "pr_pcg", "pipe_pr_pcg"]
+#: the symmetric half-band (production storage) rows, keyed
+#: ``symdia_<variant>`` in results.json
+SYMDIA_VARIANTS = ["pipe_pr_cg", "hs_cg", "pr_cg", "gv_cg", "cg_cg",
+                   "pipe_pr_pcg"]
 HERE = pathlib.Path(__file__).resolve().parent
 
 
@@ -27,18 +31,25 @@ def main():
         done = set(json.loads((HERE / "results.json").read_text())["configs"])
     except Exception:
         pass
-    for v in VARIANTS:
-        if v in done:
-            print(f"=== {v} === (already measured, skipping)", flush=True)
+    runs = [(v, []) for v in VARIANTS] + [
+        ("symdia_" + v, ["--fmt", "symdia", "--variants", v])
+        for v in SYMDIA_VARIANTS
+    ]
+    for key, extra in runs:
+        v = key.split("symdia_")[-1]
+        if key in done:
+            print(f"=== {key} === (already measured, skipping)", flush=True)
             continue
-        print(f"=== {v} ===", flush=True)
+        print(f"=== {key} ===", flush=True)
         try:
             subprocess.run(
-                [sys.executable, str(HERE / "run_all.py"), "--variants", v],
+                [sys.executable, str(HERE / "run_all.py")]
+                + (extra or ["--variants", v]),
                 timeout=1500, check=False,
             )
         except subprocess.TimeoutExpired:
-            print(f"{v}: timed out (compile too slow) — skipping", flush=True)
+            print(f"{key}: timed out (compile too slow) — skipping",
+                  flush=True)
     # final pass for the parity config (cheap, CPU-path)
     subprocess.run(
         [sys.executable, str(HERE / "run_all.py"), "--variants", "none"],
