@@ -82,16 +82,6 @@ def main():
     import jax.numpy as jnp
 
     import new_cg_variants_tpu as cgt
-    from new_cg_variants_tpu.ops.doublefloat import (
-        DFJacobi,
-        DoubleFloatContext,
-        df_operator,
-        df_split,
-    )
-    from new_cg_variants_tpu.ops.operators import as_operator
-    from new_cg_variants_tpu.solvers.api import _resolve
-    from new_cg_variants_tpu.solvers.context import Context
-    from new_cg_variants_tpu.solvers.families import FAMILIES
     from new_cg_variants_tpu.utils.env_info import env_info
 
     results = {"env": env_info()}
@@ -129,34 +119,33 @@ def _run_arm(results, tag, A, b, family, prec, iters):
     from new_cg_variants_tpu.solvers.context import Context
     from new_cg_variants_tpu.solvers.families import FAMILIES
 
-    if True:
-        init_fn, step_fn = FAMILIES[family]
-        row = {"iters": iters}
+    init_fn, step_fn = FAMILIES[family]
+    row = {"iters": iters}
 
-        variant = f"{family}_pcg" if prec else f"{family}_cg"
-        op32 = as_operator(A, dtype=jnp.float32)
-        # auto-routed operators: hoisted basis, as the solver entry points do
-        from new_cg_variants_tpu.ops.block_banded import solver_basis
+    variant = f"{family}_pcg" if prec else f"{family}_cg"
+    op32 = as_operator(A, dtype=jnp.float32)
+    # auto-routed operators: hoisted basis, as the solver entry points do
+    from new_cg_variants_tpu.ops.block_banded import solver_basis
 
-        op32, _to32, _ = solver_basis(op32)
-        _, _, precond32 = _resolve(variant, op32, prec)
-        ctx32 = Context(op32, precond32)
-        b32 = _to32(jnp.asarray(b, jnp.float32))
-        row["f32_ms_per_iter"] = time_mode(
-            ctx32, b32, init_fn, step_fn, iters) * 1e3
+    op32, _to32, _ = solver_basis(op32)
+    _, _, precond32 = _resolve(variant, op32, prec)
+    ctx32 = Context(op32, precond32)
+    b32 = _to32(jnp.asarray(b, jnp.float32))
+    row["f32_ms_per_iter"] = time_mode(
+        ctx32, b32, init_fn, step_fn, iters) * 1e3
 
-        opdf = df_operator(A)
-        precdf = DFJacobi.from_operator(opdf) if prec else None
-        ctxdf = DoubleFloatContext(opdf, precdf)
-        bdf = df_split(b)
-        row["f32x2_ms_per_iter"] = time_mode(
-            ctxdf, bdf, init_fn, step_fn, iters, df=True) * 1e3
-        row["slowdown"] = row["f32x2_ms_per_iter"] / row["f32_ms_per_iter"]
-        results[tag] = row
-        print(f"{tag}: f32 {row['f32_ms_per_iter']:.4f} ms/iter | "
-              f"f32x2 {row['f32x2_ms_per_iter']:.4f} ms/iter | "
-              f"{row['slowdown']:.1f}x", flush=True)
-        OUT.write_text(json.dumps(results, indent=1))
+    opdf = df_operator(A)
+    precdf = DFJacobi.from_operator(opdf) if prec else None
+    ctxdf = DoubleFloatContext(opdf, precdf)
+    bdf = df_split(b)
+    row["f32x2_ms_per_iter"] = time_mode(
+        ctxdf, bdf, init_fn, step_fn, iters, df=True) * 1e3
+    row["slowdown"] = row["f32x2_ms_per_iter"] / row["f32_ms_per_iter"]
+    results[tag] = row
+    print(f"{tag}: f32 {row['f32_ms_per_iter']:.4f} ms/iter | "
+          f"f32x2 {row['f32x2_ms_per_iter']:.4f} ms/iter | "
+          f"{row['slowdown']:.1f}x", flush=True)
+    OUT.write_text(json.dumps(results, indent=1))
 
 
 if __name__ == "__main__":
