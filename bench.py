@@ -135,11 +135,13 @@ def _build_dia():
 def main():
     import sys
 
+    formulation = "symdia"
     try:
         ms_per_iter = _measure(_build_symdia)
     except Exception as e:  # never fail the driver run on the fast path
         print(f"symdia formulation failed ({e!r}); "
               "falling back to two-triangle DIA", file=sys.stderr)
+        formulation = "dia_fallback"
         ms_per_iter = _measure(_build_dia)
 
     print(
@@ -149,6 +151,9 @@ def main():
                 "value": round(ms_per_iter, 4),
                 "unit": "ms/iter",
                 "vs_baseline": round(BASELINE_MS_PER_ITER / ms_per_iter, 2),
+                # which storage produced the number — a fallback run must
+                # be distinguishable in round-over-round comparisons
+                "formulation": formulation,
             }
         )
     )

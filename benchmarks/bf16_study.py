@@ -46,8 +46,12 @@ CASES = [  # (matrix, max_iter) — jacobi configs with shipped ref data
 def _metrics(hist):
     rel = np.asarray(hist, np.float64)
     rel = rel / rel[0]
+    reached = bool((rel < 1e-5).any())
     return {
-        "iters_to_1e-5": int(np.argmin(rel > 1e-5)),
+        # None = the tolerance was never reached (the historical "0 @"
+        # sentinel conflated that with instant convergence)
+        "iters_to_1e-5": int(np.argmax(rel < 1e-5)) if reached else None,
+        "reached_1e-5": reached,
         "log10_best": float(np.log10(np.nanmin(rel))),
     }
 

@@ -461,8 +461,12 @@ def df_operator(A, fmt: str = "auto") -> DFOperator:
 
     if isinstance(A, SymDiaOperator):
         # the accuracy mode carries the full two-triangle band (half-band
-        # is a traffic optimization; DF solves are compute/op-bound)
-        A = A.todia()
+        # is a traffic optimization; DF solves are compute/op-bound).
+        # HOST-side expansion: todia() would round the band to the
+        # device dtype (f32 on TPU) before the exact three-word split.
+        offsets, data = A.todia_host()
+        hi, lo, lo2 = df_split3(data)
+        return DFOperator(DiaOperator(offsets, hi), lo, lo2)
     if hasattr(A, "tocoo") and not isinstance(A, (np.ndarray, CooMatrix)):
         from .operators import coo_from_scipy
 

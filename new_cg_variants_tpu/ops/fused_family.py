@@ -197,12 +197,15 @@ def _family_kernel(update, finish, nvec, offsets, tile, piece,
     vecs = tuple(v[:] for v in vec_refs)
     outs, mv_in = update(sc, *vecs)
 
+    from .fused_step import _data_rows
+
+    dat = _data_rows(data_ref, mv_in.dtype)
     win = jnp.concatenate([lo_ref[:], mv_in, hi_ref[:]])
     o0 = offsets[0]
-    acc = data_ref[0, :] * win[piece + o0 : piece + o0 + tile]
+    acc = dat(0) * win[piece + o0 : piece + o0 + tile]
     for d in range(1, len(offsets)):
         o = offsets[d]
-        acc = acc + data_ref[d, :] * win[piece + o : piece + o + tile]
+        acc = acc + dat(d) * win[piece + o : piece + o + tile]
 
     # post-matvec elementwise outputs (e.g. Jacobi PCApply of the SpMV
     # result) + the iteration's dot products — all still in-kernel

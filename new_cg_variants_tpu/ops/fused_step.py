@@ -285,6 +285,21 @@ def fused_pipe_vector_phase_prec(x, r, w, u, p, s, rt, st, wt, ut, a1, beta,
 HALO_PIECE = 1024  # max supported band half-width
 
 
+def _data_rows(data_ref, vdtype):
+    """Per-row accessor; converts bf16 storage blocks to the compute
+    dtype ONCE (per-row extracts from packed bf16 sublane tiles force a
+    relayout per read — measured 4x slower, see ops/sym_dia.py)."""
+    if data_ref.dtype != vdtype:
+        _data = data_ref[...].astype(vdtype)
+
+        def dat(d):
+            return _data[d, :]
+    else:
+        def dat(d):
+            return data_ref[d, :]
+    return dat
+
+
 def _piece(h: int) -> int:
     """Halo-piece width: the band rounded up to the FULL (8, 128) vreg tile.
 
@@ -321,12 +336,14 @@ def _full_kernel(offsets, tile, piece, recompute, data_ref, x_ref, r_ref,
     p_o[:] = p2
     s_o[:] = s2
 
+    dat = _data_rows(data_ref, r2.dtype)
+
     def spmv(win):
         o0 = offsets[0]
-        acc = data_ref[0, :] * win[piece + o0 : piece + o0 + tile]
+        acc = dat(0) * win[piece + o0 : piece + o0 + tile]
         for d in range(1, len(offsets)):
             o = offsets[d]
-            acc = acc + data_ref[d, :] * win[piece + o : piece + o + tile]
+            acc = acc + dat(d) * win[piece + o : piece + o + tile]
         return acc
 
     u_o[:] = spmv(jnp.concatenate([lo_s_ref[:], s2, hi_s_ref[:]]))
@@ -477,12 +494,14 @@ def _full_kernel_prec(offsets, tile, piece, recompute, data_ref, d_ref,
     rt_o[:] = rt2
     st_o[:] = st2
 
+    dat = _data_rows(data_ref, r2.dtype)
+
     def spmv(win):
         o0 = offsets[0]
-        acc = data_ref[0, :] * win[piece + o0 : piece + o0 + tile]
+        acc = dat(0) * win[piece + o0 : piece + o0 + tile]
         for d in range(1, len(offsets)):
             o = offsets[d]
-            acc = acc + data_ref[d, :] * win[piece + o : piece + o + tile]
+            acc = acc + dat(d) * win[piece + o : piece + o + tile]
         return acc
 
     u2 = spmv(jnp.concatenate([lo_st_ref[:], st2, hi_st_ref[:]]))

@@ -60,13 +60,23 @@ def _dia_kernel(offsets, tile, h, nrhs, *refs):
     data_ref = refs[0]
     v_refs = refs[1 : 1 + 2 * nrhs]
     out_refs = refs[1 + 2 * nrhs :]
+    # bf16 storage tier: convert the whole block once (per-row extracts
+    # from packed bf16 sublane tiles relayout per read — see sym_dia.py)
+    if data_ref.dtype != v_refs[0].dtype:
+        _data = data_ref[...].astype(v_refs[0].dtype)
+
+        def dat(d):
+            return _data[d, :]
+    else:
+        def dat(d):
+            return data_ref[d, :]
     for r in range(nrhs):
         window = jnp.concatenate([v_refs[2 * r][:], v_refs[2 * r + 1][:]])
         s0 = h + offsets[0]
-        acc = data_ref[0, :] * window[s0 : s0 + tile]
+        acc = dat(0) * window[s0 : s0 + tile]
         for d in range(1, len(offsets)):
             s = h + offsets[d]
-            acc = acc + data_ref[d, :] * window[s : s + tile]
+            acc = acc + dat(d) * window[s : s + tile]
         out_refs[r][:] = acc
 
 

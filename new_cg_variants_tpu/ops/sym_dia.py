@@ -81,18 +81,9 @@ def _sym_kernel(offsets, tile, h, nrhs, *refs):
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
     row2 = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
 
-    # bf16 STORAGE tier: data streams HBM at half width; convert the
-    # WHOLE block once (per-row converts from packed bf16 sublane tiles
-    # force a relayout per extract — measured 4x slower).  Matching
-    # dtypes keep the per-row direct reads (the f32 hot path).
-    if data_ref.dtype != v_refs[0].dtype:
-        _data = data_ref[...].astype(v_refs[0].dtype)
+    from .fused_step import _data_rows
 
-        def dat(d):
-            return _data[d, :]
-    else:
-        def dat(d):
-            return data_ref[d, :]
+    dat = _data_rows(data_ref, v_refs[0].dtype)
 
     for r in range(nrhs):
         window = jnp.concatenate([v_refs[2 * r][:], v_refs[2 * r + 1][:]])
@@ -298,10 +289,15 @@ class SymDiaOperator:
     def astype(self, dtype):
         return SymDiaOperator(self.offsets, jnp.asarray(self.data, dtype))
 
-    def todia(self):
-        """Full (two-triangle) DiaOperator with identical entries."""
-        from .operators import DiaOperator
+    def todia_host(self):
+        """Full (two-triangle) band as host ``(offsets, np.float64 data)``.
 
+        Stays in numpy end-to-end: the f32x2 mode splits this EXACTLY
+        into three words, and a ``jnp.asarray`` round-trip on an
+        x64-disabled (TPU) process would silently truncate the band to
+        f32 first — collapsing the accuracy mode to the f32-matrix
+        fixed bias it exists to remove.
+        """
         n = self.n
         data = np.asarray(self.data, np.float64)
         offs = [int(o) for o in self.offsets]
@@ -314,7 +310,19 @@ class SymDiaOperator:
                 d = offs.index(-off)
                 # A[i, i+off] = A[i+off, i] = data[d, i+off] (row-indexed)
                 full[j, -off:] = data[d, : n + off]
-        return DiaOperator(tuple(full_offs), jnp.asarray(full))
+        return tuple(full_offs), full
+
+    def todia(self):
+        """Full (two-triangle) DiaOperator with identical entries.
+
+        NOTE: the returned operator's data goes through ``jnp.asarray``
+        (device dtype rules apply); precision-critical consumers use
+        :meth:`todia_host`.
+        """
+        from .operators import DiaOperator
+
+        full_offs, full = self.todia_host()
+        return DiaOperator(full_offs, jnp.asarray(full))
 
     def tocsr(self):
         return self.todia().tocsr()

@@ -202,18 +202,9 @@ def _sym_family_kernel(update, finish, nvec, n_mv, nout, offsets, tile,
     vecs = tuple(v[:] for v in vec_refs)
     outs, mv_ins = update(sc, *vecs)
 
-    # bf16 STORAGE tier: data streams HBM at half width; convert the
-    # WHOLE block once (per-row converts from packed bf16 sublane tiles
-    # force a relayout per extract — measured 4x slower).  Matching
-    # dtypes keep the per-row direct reads (the f32 hot path).
-    if data_ref.dtype != vec_refs[0].dtype:
-        _data = data_ref[...].astype(vec_refs[0].dtype)
+    from .fused_step import _data_rows
 
-        def dat(d):
-            return _data[d, :]
-    else:
-        def dat(d):
-            return data_ref[d, :]
+    dat = _data_rows(data_ref, vec_refs[0].dtype)
 
     def sym_spmv(mv_in, hi_ref, spill_ref):
         """Half-band SpMV of the in-kernel-updated vector.

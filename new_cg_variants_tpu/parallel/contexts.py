@@ -92,6 +92,26 @@ class _MeshContext:
     def prec(self, v):
         return self.precond.apply(v) if self.precond is not None else v
 
+    def _halo_extend(self, v):
+        """[left halo | v | right halo] via two neighbor ppermute hops.
+
+        Non-circular permutes: edge devices receive zeros, which is
+        exactly the matrix-boundary condition (no rows outside [0, n)).
+        Works on (m,) vectors and (m, c) stacked-word/RHS arrays alike;
+        requires ``self.h`` (halo width) and ``self.axis``.
+        """
+        h = self.h
+        if h == 0:
+            return v
+        p = lax.axis_size(self.axis)
+        # halo from the LEFT neighbor: device d sends its last h rows to
+        # d+1; halo from the RIGHT: d+1 sends its first h rows to d.
+        left = lax.ppermute(v[-h:], self.axis,
+                            [(d, d + 1) for d in range(p - 1)])
+        right = lax.ppermute(v[:h], self.axis,
+                             [(d + 1, d) for d in range(p - 1)])
+        return jnp.concatenate([left, v, right], axis=0)
+
     def dots(self, *pairs):
         return _psum_batch(pairs, self.axis, self.compensated)
 
@@ -132,24 +152,6 @@ class RowShardContext(_MeshContext):
         self.precond = precond
         self.compensated = compensated
         self.h = max(abs(o) for o in self.offsets)
-
-    def _halo_extend(self, v):
-        """[left halo | v | right halo] via two neighbor ppermute hops.
-
-        Non-circular permutes: edge devices receive zeros, which is
-        exactly the matrix-boundary condition (no rows outside [0, n)).
-        """
-        h = self.h
-        if h == 0:
-            return v
-        p = lax.axis_size(self.axis)
-        # halo from the LEFT neighbor: device d sends its last h rows to d+1.
-        # Non-participating edges receive zeros from ppermute — the correct
-        # matrix-boundary condition.
-        left = lax.ppermute(v[-h:], self.axis, [(d, d + 1) for d in range(p - 1)])
-        # halo from the RIGHT neighbor: device d+1 sends its first h rows to d.
-        right = lax.ppermute(v[:h], self.axis, [(d + 1, d) for d in range(p - 1)])
-        return jnp.concatenate([left, v, right], axis=0)
 
     def _use_pallas(self) -> bool:
         import os
@@ -305,17 +307,6 @@ class SymDiaRowShardContext(_MeshContext):
         self.precond = precond
         self.compensated = compensated
         self.h = max(int(o) for o in self.offsets)
-
-    def _halo_extend(self, v):
-        h = self.h
-        if h == 0:
-            return v
-        p = lax.axis_size(self.axis)
-        left = lax.ppermute(v[-h:], self.axis,
-                            [(d, d + 1) for d in range(p - 1)])
-        right = lax.ppermute(v[:h], self.axis,
-                             [(d + 1, d) for d in range(p - 1)])
-        return jnp.concatenate([left, v, right], axis=0)
 
     def _use_pallas(self) -> bool:
         import os
@@ -513,17 +504,6 @@ class StencilRowShardContext(_MeshContext):
         self.compensated = compensated
         self.h = self.k - 1
 
-    def _halo_extend(self, v):
-        h = self.h
-        if h == 0:
-            return v
-        p = lax.axis_size(self.axis)
-        left = lax.ppermute(v[-h:], self.axis,
-                            [(d, d + 1) for d in range(p - 1)])
-        right = lax.ppermute(v[:h], self.axis,
-                             [(d + 1, d) for d in range(p - 1)])
-        return jnp.concatenate([left, v, right], axis=0)
-
     def _mv_cols(self, vext):
         """Window-sum matvec on the extended local vector (any ncols)."""
         from ..ops.stencil import window_sum
@@ -551,7 +531,7 @@ class StencilRowShardContext(_MeshContext):
         return y[:, 0], y[:, 1]
 
 
-class DFRowShardContext:
+class DFRowShardContext(_MeshContext):
     """Row-partitioned DOUBLE-WORD (f32x2) DIA context: the distributed
     accuracy mode.
 
@@ -592,25 +572,6 @@ class DFRowShardContext:
         self.precond = precond
         self.h = max(abs(o) for o in self.offsets)
 
-    @property
-    def has_prec(self) -> bool:
-        return self.precond is not None
-
-    def prec(self, v):
-        return self.precond.apply(v) if self.precond is not None else v
-
-    def _halo_extend2(self, vw):
-        """(m, c) stacked-word halo exchange (non-circular, zero edges)."""
-        h = self.h
-        if h == 0:
-            return vw
-        p = lax.axis_size(self.axis)
-        left = lax.ppermute(vw[-h:], self.axis,
-                            [(d, d + 1) for d in range(p - 1)])
-        right = lax.ppermute(vw[:h], self.axis,
-                             [(d + 1, d) for d in range(p - 1)])
-        return jnp.concatenate([left, vw, right], axis=0)
-
     def _mv_ext(self, vh, vl):
         """Double-word DIA SpMV on the halo-extended words (local rows)."""
         from ..ops.compensated import df_add, fast_two_sum, two_prod
@@ -633,12 +594,12 @@ class DFRowShardContext:
 
     def mv(self, v):
         vw = jnp.stack([v.hi, v.lo], axis=1)  # both words, ONE exchange
-        ext = self._halo_extend2(vw)
+        ext = self._halo_extend(vw)
         return self._mv_ext(ext[:, 0], ext[:, 1])
 
     def mv2(self, v, w):
         vw = jnp.stack([v.hi, v.lo, w.hi, w.lo], axis=1)  # ONE exchange
-        ext = self._halo_extend2(vw)
+        ext = self._halo_extend(vw)
         return (self._mv_ext(ext[:, 0], ext[:, 1]),
                 self._mv_ext(ext[:, 2], ext[:, 3]))
 
@@ -670,21 +631,6 @@ class DFRowShardContext:
     def norm(self, v):
         (sq,) = self.dots((v, v))
         return jnp.sqrt(jnp.abs(sq.value()))
-
-    def mv_dots(self, v, pairs):
-        """Dots issued first: the gather overlaps the matvec's halo."""
-        d = self.dots(*pairs)
-        return self.mv(v), d
-
-    def mv2_dots(self, v, w, pairs):
-        d = self.dots(*pairs)
-        y, z = self.mv2(v, w)
-        return y, z, d
-
-    def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
-        from ..solvers.context import generic_pipe_vector_phase
-
-        return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
 
 
 class ColShardContext(_MeshContext):

@@ -110,6 +110,24 @@ def _dist_chunked(
 AXIS = "i"
 
 
+def _check_df_dist_args(partition, compensated, col_packed):
+    """The distributed f32x2 mode is row-partitioned DIA with its own
+    double-word reductions; reject configuration knobs it cannot honor
+    rather than silently running a different configuration."""
+    if partition not in ("auto", "row"):
+        raise NotImplementedError(
+            "distributed f32x2 supports partition='row' only (got "
+            f"{partition!r})")
+    if compensated:
+        raise NotImplementedError(
+            "compensated=True is meaningless under f32x2 (the mode's "
+            "dots are already double-word); drop the flag")
+    if not col_packed:
+        raise NotImplementedError(
+            "col_packed applies to the column partition only; "
+            "distributed f32x2 is row-partitioned")
+
+
 def _df_dist_pieces(variant, op, b, x0, preconditioner, mesh):
     """Distributed f32x2 setup: DF operator words, sharded DF vectors.
 
@@ -127,9 +145,13 @@ def _df_dist_pieces(variant, op, b, x0, preconditioner, mesh):
     from ..ops.sym_dia import SymDiaOperator
     from .contexts import DFRowShardContext
 
-    if isinstance(op, SymDiaOperator):
-        op = op.todia()  # accuracy mode carries the full band (see df_operator)
-    op_df = df_operator(op, fmt="dia") if not isinstance(op, DFOperator) else op
+    if isinstance(op, DFOperator):
+        op_df = op
+    elif isinstance(op, SymDiaOperator):
+        # df_operator expands the half-band HOST-side (exact f64 split)
+        op_df = df_operator(op)
+    else:
+        op_df = df_operator(op, fmt="dia")
     if not isinstance(op_df.inner, DiaOperator):
         raise TypeError(
             "distributed f32x2 requires a DIA-representable operator "
@@ -444,6 +466,7 @@ def dist_run(
     accuracy across the mesh.
     """
     if dtype == "f32x2":
+        _check_df_dist_args(partition, compensated, col_packed)
         if mesh is None:
             mesh = make_mesh()
         return _df_dist_run(variant, op, b, mesh, x0, max_iter,
@@ -529,6 +552,7 @@ def dist_solve(
     (row-partitioned DIA + None/Jacobi preconditioner).
     """
     if dtype == "f32x2":
+        _check_df_dist_args(partition, compensated, col_packed)
         if mesh is None:
             mesh = make_mesh()
         return _df_dist_solve(op, b, variant, mesh, x0, rtol, atol,

@@ -41,21 +41,34 @@ VARIANT_NAMES = tuple(
 )
 
 
+def _gv_replace_hooks(key, init_fn, step_fn, w_replace, w_replace_init):
+    """Wire the gv residual-replacement hook into (init_fn, step_fn).
+
+    Shared by the plain and f32x2 resolution paths so the hook protocol
+    (incl. the stateful ``wrep`` carry leaf — the reference's mutable
+    ``wk_replace_flags`` dict, gv_cg.py:40) cannot diverge between
+    arithmetic modes.
+    """
+    if key != "gv" or w_replace is None:
+        return init_fn, step_fn
+    stateful = w_replace_init is not None
+    step_fn = make_gv_step(w_replace, stateful=stateful)
+    if stateful:
+        base_init = init_fn
+
+        def init_fn(ctx, b, x0, _base=base_init):
+            st = _base(ctx, b, x0)
+            st["wrep"] = jax.tree.map(jnp.asarray, w_replace_init)
+            return st
+
+    return init_fn, step_fn
+
+
 def _resolve(variant, op, preconditioner, w_replace=None, w_replace_init=None):
     key, prec_flag = family_of(variant)
     init_fn, step_fn = FAMILIES[key]
-    if key == "gv" and w_replace is not None:
-        stateful = w_replace_init is not None
-        step_fn = make_gv_step(w_replace, stateful=stateful)
-        if stateful:
-            # thread the hook's own state (the reference's mutable
-            # wk_replace_flags dict, gv_cg.py:40) as a carry leaf
-            base_init = init_fn
-
-            def init_fn(ctx, b, x0, _base=base_init):
-                st = _base(ctx, b, x0)
-                st["wrep"] = jax.tree.map(jnp.asarray, w_replace_init)
-                return st
+    init_fn, step_fn = _gv_replace_hooks(key, init_fn, step_fn, w_replace,
+                                         w_replace_init)
     precond = make_preconditioner(
         preconditioner if prec_flag else None, op
     )
@@ -203,19 +216,11 @@ def _df_pieces(variant, A, b, x0, preconditioner, w_replace=None,
                      else np.asarray(x0, np.float64))
     key, prec_flag = family_of(variant)
     init_fn, step_fn = FAMILIES[key]
-    if key == "gv" and w_replace is not None:
-        # the residual-replacement hook (gv_cg.py:69-72) in double-word
-        # arithmetic: the view dict carries DF values — policies that
-        # inspect magnitudes should collapse via .value()
-        stateful = w_replace_init is not None
-        step_fn = make_gv_step(w_replace, stateful=stateful)
-        if stateful:
-            base_init = init_fn
-
-            def init_fn(ctx, b_, x0_, _base=base_init):
-                st = _base(ctx, b_, x0_)
-                st["wrep"] = jax.tree.map(jnp.asarray, w_replace_init)
-                return st
+    # the residual-replacement hook in double-word arithmetic: the view
+    # dict carries DF values — policies that inspect magnitudes should
+    # collapse via .value()
+    init_fn, step_fn = _gv_replace_hooks(key, init_fn, step_fn, w_replace,
+                                         w_replace_init)
     precond = None
     if prec_flag:
         if preconditioner in (None, "identity"):

@@ -250,3 +250,23 @@ def test_df_dense_kernel_matches_f64():
                             interpret=True)
     zk = np.asarray(z2.hi, np.float64) + np.asarray(z2.lo, np.float64)
     assert np.abs(zk - (a @ w64)).max() / np.abs(y64).max() < 1e-13
+
+
+def test_df_operator_symdia_split_is_exact_without_x64(monkeypatch):
+    """df_operator(SymDiaOperator) must expand the half-band HOST-side:
+    a device round-trip on an x64-disabled process (the TPU default)
+    silently truncates the band to f32 BEFORE the three-word split,
+    collapsing the accuracy mode to the f32-matrix fixed bias (round-5
+    code-review finding, reproduced on the chip env)."""
+    from new_cg_variants_tpu.ops.doublefloat import df_operator
+
+    op, _, _ = cgt.banded_model(2048, k=8, kappa=1e4, fmt="symdia")
+    dop = df_operator(op)
+    lo = float(np.abs(np.asarray(dop.lo_data)).max())
+    assert lo > 0, "three-word split collapsed (lo word identically zero)"
+    # the split reconstructs the f64 band exactly
+    offs, full = op.todia_host()
+    rec = (np.asarray(dop.inner.data, np.float64)
+           + np.asarray(dop.lo_data, np.float64)
+           + np.asarray(dop.lo2_data, np.float64))
+    np.testing.assert_array_equal(rec, full)
