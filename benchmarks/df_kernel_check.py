@@ -67,6 +67,36 @@ def main():
     except Exception as e:
         results = {"error": repr(e)[:500]}
         print("FAILED:", repr(e), flush=True)
+
+    # the DF pipe vector-phase kernel: f64 reference of the 5 AXPYs + dots
+    try:
+        from new_cg_variants_tpu.ops.df_spmv import df_pipe_vector_phase
+
+        vs64 = [rng.standard_normal(N) for _ in range(6)]
+        dfs = [df_split(a) for a in vs64]
+        a1, beta = 0.3712345678901234, 0.1298765432109876
+        x2, r2, w2, p2, s2, dots = df_pipe_vector_phase(
+            *dfs, df_split(np.float64(a1)), df_split(np.float64(beta)))
+        x64_, r64, w64_, u64, p64, s64 = vs64
+        rx = x64_ + a1 * p64
+        rr = r64 - a1 * s64
+        rw = w64_ - a1 * u64
+        rp = rr + beta * p64
+        rs = rw + beta * s64
+        errs = [rel(g, t) for g, t in
+                [(x2, rx), (r2, rr), (w2, rw), (p2, rp), (s2, rs)]]
+        derrs = [float(abs(d.value64() - t) / abs(t)) for d, t in
+                 [(dots[0], rp @ rs), (dots[1], rr @ rs),
+                  (dots[2], rs @ rs), (dots[3], rr @ rr)]]
+        ok = max(errs + derrs) < 1e-12
+        results["vector_phase"] = {
+            "vec_errs": errs, "dot_errs": derrs,
+            "verdict": "ok" if ok else "EFT-BROKEN"}
+        print(f"vector_phase {'ok' if ok else 'EFT-BROKEN'}: "
+              f"vec {max(errs):.2e} dots {max(derrs):.2e}", flush=True)
+    except Exception as e:
+        results["vector_phase"] = {"error": repr(e)[:500]}
+        print("vector_phase FAILED:", repr(e)[:300], flush=True)
     out.write_text(json.dumps(results, indent=1))
     print("wrote", out)
 

@@ -282,3 +282,139 @@ def df_dense_spmv2(hi, lo, lo2, v, w, *, interpret=None):
     yh, yl, zh, zl = _df_dense_padded(hi_p, lo_p, lo2_p, vws,
                                       interpret=interpret, nrhs=2)
     return DF(yh[:n, 0], yl[:n, 0]), DF(zh[:n, 0], zl[:n, 0])
+
+
+# ---------------------------------------------------------------------------
+# Double-word PIPE vector phase: 5 DF AXPYs + the 4 DF dot partials of
+# the single sync phase in ONE kernel.
+#
+# With the DIA DF SpMV above, this makes the whole f32x2 pipe-P/PR
+# iteration TWO device ops (plus O(1) scalar glue): the remaining
+# fusion-disabled elementwise graph — ~25 unfused HBM-materializing ops
+# over 6 double-word vectors — collapses into a single pass.  The pipe
+# family is the only one whose sync-phase dots read ONLY pre-matvec
+# vectors, which is what makes this split exact.
+# ---------------------------------------------------------------------------
+
+
+def _df_axpy(vh, vl, ch, cl, wh, wl, sign=1.0):
+    """(v + sign * c*w) in double-word arithmetic; c is a DF scalar."""
+    ph, pl = _mul_hi_lo_k(ch, cl, wh, wl)
+    if sign < 0:
+        ph, pl = -ph, -pl
+    return df_add(vh, vl, ph, pl)
+
+
+def _mul_hi_lo_k(ah, al, bh, bl):
+    p, e = two_prod(ah, bh)
+    e = e + (ah * bl + al * bh + al * bl)
+    return fast_two_sum(p, e)
+
+
+def _df_lane_fold(ph, pl, rows):
+    """(tile,) DF pair -> (128,) DF pair via a df_add halving tree."""
+    hi = ph.reshape(rows, 128)
+    lo = pl.reshape(rows, 128)
+    m = rows
+    while m > 1:
+        half = m // 2
+        hi, lo = df_add(hi[:half], lo[:half], hi[half:m], lo[half:m])
+        m = half
+    return hi[0], lo[0]
+
+
+def _df_pipe_kernel(tile, *refs):
+    import jax.experimental.pallas as pl  # noqa: F401  (grid-independent)
+
+    (xh, xl, rh, rl, wh, wl, uh, ul, ph_, pl_, sh, sl, ab) = refs[:13]
+    outs = refs[13:]
+    rows = tile // 128
+    a1h, a1l, bh, bl = ab[0], ab[1], ab[2], ab[3]
+
+    x2 = _df_axpy(xh[:], xl[:], a1h, a1l, ph_[:], pl_[:])
+    r2 = _df_axpy(rh[:], rl[:], a1h, a1l, sh[:], sl[:], sign=-1.0)
+    w2 = _df_axpy(wh[:], wl[:], a1h, a1l, uh[:], ul[:], sign=-1.0)
+    p2 = _df_axpy(r2[0], r2[1], bh, bl, ph_[:], pl_[:])
+    s2 = _df_axpy(w2[0], w2[1], bh, bl, sh[:], sl[:])
+    for o, val in zip(outs[:10], (*x2, *r2, *w2, *p2, *s2)):
+        o[:] = val
+
+    # local partials: mu = p2.s2, delta = r2.s2, gamma = s2.s2, nu = r2.r2
+    zero = jnp.zeros((128,), x2[0].dtype)
+    his, los = [], []
+    for (avh, avl), (bvh, bvl) in (((p2), (s2)), ((r2), (s2)),
+                                   ((s2), (s2)), ((r2), (r2))):
+        prh, pre = two_prod(avh, bvh)
+        pre = pre + (avh * bvl + avl * bvh + avl * bvl)
+        fh, fl = _df_lane_fold(prh, pre, rows)
+        his.append(fh)
+        los.append(fl)
+    outs[10][0] = jnp.stack(his + [zero] * 4)
+    outs[11][0] = jnp.stack(los + [zero] * 4)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def df_pipe_vector_phase(x, r, w, u, p, s, a1, beta, *, tile=DEFAULT_TILE,
+                         interpret=None):
+    """DF pipe vector phase: ``(x2, r2, w2, p2, s2, (mu, delta, gamma,
+    nu))`` with the same DF semantics as the generic formulation.  The
+    dot partials fold lanes in-kernel; the (nt, 8, 128) hi/lo planes
+    combine in a double-word tree outside (tiny)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .doublefloat import DF
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = x.hi.shape[0]
+    n_pad = _round_up(n, tile)
+    pad = n_pad - n
+
+    def pad1(v):
+        return jnp.pad(v, (0, pad)) if pad else v
+
+    vecs = [pad1(a) for v in (x, r, w, u, p, s) for a in (v.hi, v.lo)]
+    ab = jnp.stack([a1.hi, a1.lo, beta.hi, beta.lo]).astype(x.hi.dtype)
+    nt = n_pad // tile
+    vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+    dots_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_df_pipe_kernel, tile),
+        grid=(nt,),
+        in_specs=[vec_spec] * 12 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[vec_spec] * 10 + [dots_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), x.hi.dtype)] * 10
+        + [jax.ShapeDtypeStruct((nt, 8, 128), x.hi.dtype)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=250 * n_pad,
+            bytes_accessed=22 * n_pad * x.hi.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*vecs, ab)
+    vo = outs[:10]
+    if pad:
+        vo = [v[:n] for v in vo]
+    x2, r2, w2, p2, s2 = (DF(vo[2 * i], vo[2 * i + 1]) for i in range(5))
+    # cross-tile + cross-lane combine in double-word arithmetic (tiny:
+    # (nt, 8, 128) pairs; runs under _df_jit so the EFTs hold)
+    hi = outs[10].reshape(nt, 8, 128)
+    lo = outs[11].reshape(nt, 8, 128)
+    m = nt
+    while m > 1:
+        half = m // 2
+        hi, lo = df_add(hi[:half], lo[:half], hi[half:m], lo[half:m])
+        m = half
+    hi, lo = hi[0], lo[0]  # (8, 128)
+    dots = []
+    for i in range(4):
+        h, l = hi[i], lo[i]
+        mm = 128
+        while mm > 1:
+            half = mm // 2
+            h, l = df_add(h[:half], l[:half], h[half:mm], l[half:mm])
+            mm = half
+        dots.append(DF(h[0], l[0]))
+    return x2, r2, w2, p2, s2, tuple(dots)

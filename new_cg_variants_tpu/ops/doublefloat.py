@@ -594,6 +594,25 @@ class DoubleFloatContext:
         return y, z, d
 
     def pipe_vector_phase(self, x, r, w, u, p, s, a1, beta):
+        if self._use_vector_kernel():
+            from .df_spmv import df_pipe_vector_phase
+
+            a1 = a1 if isinstance(a1, DF) else x._coerce(a1)
+            beta = beta if isinstance(beta, DF) else x._coerce(beta)
+            return df_pipe_vector_phase(x, r, w, u, p, s, a1, beta)
         from ..solvers.context import generic_pipe_vector_phase
 
         return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
+
+    def _use_vector_kernel(self) -> bool:
+        """DF pipe vector-phase kernel dispatch (TPU): with the DF SpMV
+        kernel this makes the whole pipe iteration two device ops —
+        the fusion-disabled elementwise graph was the remaining f32x2
+        cost (f32x2_cost.json).  Trace-time env capture as usual."""
+        import os
+
+        if os.environ.get("NCGV_DISABLE_PALLAS"):
+            return False
+        if os.environ.get("NCGV_DF_KERNEL", "") == "0":
+            return False
+        return jax.default_backend() == "tpu"

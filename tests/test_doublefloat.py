@@ -270,3 +270,32 @@ def test_df_operator_symdia_split_is_exact_without_x64(monkeypatch):
            + np.asarray(dop.lo_data, np.float64)
            + np.asarray(dop.lo2_data, np.float64))
     np.testing.assert_array_equal(rec, full)
+
+
+def test_df_pipe_vector_phase_kernel_matches_generic():
+    """The DF pipe vector-phase kernel (5 double-word AXPYs + the 4 sync
+    partials in one pass) matches the generic DF formulation at DF
+    accuracy in interpret mode."""
+    from new_cg_variants_tpu.ops.df_spmv import df_pipe_vector_phase
+    from new_cg_variants_tpu.ops.doublefloat import (
+        DoubleFloatContext,
+        df_operator,
+        df_split,
+    )
+    from new_cg_variants_tpu.solvers.context import generic_pipe_vector_phase
+
+    op, _, _ = cgt.banded_model(5000, k=8)
+    ctx = DoubleFloatContext(df_operator(op))
+    rng = np.random.default_rng(3)
+    x, r, w, u, p, s = [df_split(rng.standard_normal(5000))
+                        for _ in range(6)]
+    a1 = df_split(np.float64(0.3712345678901234))
+    beta = df_split(np.float64(0.1298765432109876))
+    ref = generic_pipe_vector_phase(ctx, x, r, w, u, p, s, a1, beta)
+    got = df_pipe_vector_phase(x, r, w, u, p, s, a1, beta, interpret=True)
+    for i in range(5):
+        np.testing.assert_allclose(got[i].value64(), ref[i].value64(),
+                                   rtol=1e-13, atol=1e-13)
+    for i in range(4):
+        np.testing.assert_allclose(got[5][i].value64(),
+                                   ref[5][i].value64(), rtol=1e-12)
