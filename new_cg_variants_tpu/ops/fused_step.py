@@ -41,18 +41,25 @@ __all__ = [
 # (pallas_ceiling.json) and amortize the fixed 1024-element halo pieces.
 DEFAULT_TILE = 4096
 
-#: preference order for :func:`pick_tile` (best-measured first)
+#: preference order for :func:`pick_tile` (best-measured first).
+#: Measured on the PARALLEL-grid full-DIA full step and the 2-RHS
+#: half-band pipe step (benchmarks/tile_scan.json): 8192 wins both.
 _TILE_CHOICES = (8192, 4096, 2048, 1024)
 
+#: the SEQUENTIAL-grid 1-matvec half-band kernels are HBM-bound and
+#: amortize better at 16384 (hs_cg 0.1086 vs 0.1153 ms/iter at the
+#: headline size — tile_scan.json "symdia" rows)
+SYM_1MV_TILE_CHOICES = (16384,) + _TILE_CHOICES
 
-def pick_tile(n: int, default: int = DEFAULT_TILE) -> int:
+
+def pick_tile(n: int, default: int = DEFAULT_TILE, choices=_TILE_CHOICES) -> int:
     """Largest well-measured tile that divides ``n`` with >= 2 tiles.
 
     The full-step kernels need ``n % tile == 0`` (no pad copy on the hot
     path), so the best tile is size-dependent; fall back to ``default``
     (the caller's supports check will then reject ragged n).
     """
-    for t in _TILE_CHOICES:
+    for t in choices:
         if n % t == 0 and n // t >= 2:
             return t
     return default

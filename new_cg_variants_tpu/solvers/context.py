@@ -112,7 +112,7 @@ class Context:
             return fused_pipe_vector_phase(x, r, w, u, p, s, a1, beta)
         return generic_pipe_vector_phase(self, x, r, w, u, p, s, a1, beta)
 
-    def _full_fused_ok(self, n, allow_prec=False):
+    def _full_fused_ok(self, n, allow_prec=False, two_rhs=False):
         """Shared qualification for the whole-iteration fusions.
 
         Returns ``(kind, tile, interpret)`` — ``kind`` is ``'dia'`` or
@@ -120,10 +120,12 @@ class Context:
         full-step kernels apply, else ``None``.  ``allow_prec`` lifts
         the unpreconditioned requirement (used by hooks that either fuse
         the Jacobi PCApply in-kernel or don't touch the preconditioner
-        at all).  ``NCGV_FULL_FUSED=0`` disables; ``=1`` forces them
-        off-TPU (interpret mode, for tests); ``NCGV_FUSED_TILE``
-        overrides the kernel tile; ``NCGV_SYMDIA_KERNEL=0`` disables
-        just the half-band kernels.
+        at all).  ``two_rhs`` selects the tile preference: the 1-matvec
+        half-band kernels measure best at 16384, the 2-RHS pipe step at
+        8192 (tile_scan.json).  ``NCGV_FULL_FUSED=0`` disables; ``=1``
+        forces them off-TPU (interpret mode, for tests);
+        ``NCGV_FUSED_TILE`` overrides the kernel tile;
+        ``NCGV_SYMDIA_KERNEL=0`` disables just the half-band kernels.
         """
         import os
 
@@ -148,10 +150,13 @@ class Context:
         if isinstance(self.op, SymDiaOperator):
             if os.environ.get("NCGV_SYMDIA_KERNEL", "") == "0":
                 return None
-            from ..ops.fused_step import pick_tile
+            from ..ops.fused_step import SYM_1MV_TILE_CHOICES, pick_tile
             from ..ops.sym_fused import supports_sym_full
 
-            tile = tile_env or pick_tile(n)
+            tile = tile_env or (
+                pick_tile(n) if two_rhs
+                else pick_tile(n, choices=SYM_1MV_TILE_CHOICES)
+            )
             if self.op.data.shape[1] != n or not supports_sym_full(
                 self.op.offsets, n, tile
             ):
@@ -185,7 +190,7 @@ class Context:
         operator/shape/backend doesn't qualify and the caller falls back
         to the split formulation.
         """
-        ok = self._full_fused_ok(s_["x"].shape[0])
+        ok = self._full_fused_ok(s_["x"].shape[0], two_rhs=recompute)
         if ok is None:
             return None
         kind, tile, interpret = ok
@@ -304,13 +309,13 @@ class Context:
             tile=tile, interpret=interpret,
         )
 
-    def _jacobi_fused_ok(self, n):
+    def _jacobi_fused_ok(self, n, two_rhs=False):
         """Prec-family gate: qualification + Jacobi preconditioner."""
         from .precond import JacobiPreconditioner
 
         if not isinstance(self.precond, JacobiPreconditioner):
             return None
-        return self._full_fused_ok(n, allow_prec=True)
+        return self._full_fused_ok(n, allow_prec=True, two_rhs=two_rhs)
 
     def pr_full_step_prec(self, s_, a1, beta):
         """Whole-iteration Jacobi-preconditioned PR/M fusion (one pass,
@@ -391,7 +396,7 @@ class Context:
         preconditioner, norm-in-batch rho, non-DIA operator, ...) and the
         caller falls back to the generic formulation.
         """
-        ok = self._jacobi_fused_ok(s_["x"].shape[0])
+        ok = self._jacobi_fused_ok(s_["x"].shape[0], two_rhs=recompute)
         if ok is None:
             return None
         kind, tile, interpret = ok
