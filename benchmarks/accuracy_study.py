@@ -48,6 +48,11 @@ CASES = [
     ("nos6", 130, PAIR),
     ("494_bus", 500, PAIR),
     ("1138_bus", 1300, FULL_VARIANTS),
+    # round-5 breadth extension (budgets from the convergence configs)
+    ("nos1", 900, PAIR),
+    ("nos5", 350, PAIR),
+    ("nos7", 200, PAIR),
+    ("662_bus", 350, PAIR),
 ]
 TOL = 1e-5
 
